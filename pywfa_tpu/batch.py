@@ -1,0 +1,262 @@
+"""Host-side batched alignment pipeline.
+
+Feeds the JAX engine (pywfa_tpu.ops.engine) with encoded, padded sequence
+batches; reconstructs CIGARs from the traceback walk by greedy match-fill
+(the dense-tensor analog of WFA2-lib's pcigar unpack,
+wavefront_backtrace_buffer.c); and escalates/falls back for rare cases
+(band/score bucket overflow, dropped or heuristic-partial alignments) so
+results are always complete and byte-faithful.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .attributes import AlignerAttributes, classic_score, validate_alignment
+from .cigar import Cigar, cigar_maxtrim
+from .constants import (
+    AlignmentScope,
+    AlignmentSpan,
+    OFFSET_NULL,
+    STATUS_ALG_COMPLETED,
+    STATUS_ALG_PARTIAL,
+    STATUS_MAX_STEPS_REACHED,
+)
+from .oracle import OracleAligner, OracleResult
+from .ops import engine as E
+
+PATTERN_SENTINEL = 1
+TEXT_SENTINEL = 2
+
+
+def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int) -> np.ndarray:
+    """[B, L + chunk] int8 tokens, sentinel-padded past each sequence's end."""
+    B = len(seqs)
+    out = np.full((B, L + chunk), sentinel, dtype=np.int8)
+    for i, s in enumerate(seqs):
+        a = np.frombuffer(s, dtype=np.uint8).astype(np.int8)
+        out[i, : len(a)] = a
+    return out
+
+
+def _match_fill(pattern: bytes, text: bytes, ops_rev: np.ndarray, n_ops: int,
+                k_start: int, plen: int, tlen: int,
+                wildcard: Optional[int]) -> str:
+    """Expand a reversed walk-op stream into a full per-base op string.
+
+    Match runs are re-derived by greedy forward extension, which is exact for
+    WFA paths because stored offsets are maximally extended (the same
+    argument that makes the reference's pcigar unpack exact,
+    wavefront_pcigar.c unpack + wavefront_backtrace_buffer.c).
+    """
+    pa = np.frombuffer(pattern, dtype=np.uint8)
+    ta = np.frombuffer(text, dtype=np.uint8)
+    if k_start >= 0:
+        v, h = 0, int(k_start)
+    else:
+        v, h = -int(k_start), 0
+    parts: List[str] = []
+    # leading free indels (reference: wavefront_backtrace.c:514-516)
+    if h > 0:
+        parts.append("I" * h)
+    if v > 0:
+        parts.append("D" * v)
+
+    def extend() -> None:
+        nonlocal v, h
+        n = min(plen - v, tlen - h)
+        if n <= 0:
+            return
+        a = pa[v: v + n]
+        b = ta[h: h + n]
+        eq = a == b
+        if wildcard is not None:
+            eq = eq | (a == wildcard) | (b == wildcard)
+        run = n if eq.all() else int(np.argmin(eq))
+        if run > 0:
+            parts.append("M" * run)
+            v += run
+            h += run
+
+    extend()  # start-cell extension
+    for i in range(n_ops - 1, -1, -1):
+        tok = int(ops_rev[i])
+        op = tok & 3
+        if op == E.WOP_X:
+            parts.append("X")
+            v += 1
+            h += 1
+        elif op == E.WOP_I:
+            parts.append("I")
+            h += 1
+        else:
+            parts.append("D")
+            v += 1
+        if tok & E.WOP_MFLAG:
+            extend()
+    return "".join(parts)
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Per-pair outcome of a batched alignment."""
+
+    status: int
+    score: int
+    ops: str
+    end_v: int
+    end_h: int
+    wf_score: int
+    dropped: bool
+
+
+class BatchWavefrontAligner:
+    """TPU-batched aligner: many pattern/text pairs per call.
+
+    Configuration kwargs match `WavefrontAligner`; alignment happens in
+    length-bucketed, statically-shaped batches on the accelerator, with
+    automatic escalation for pairs that exceed a bucket's band/score budget
+    and oracle fallback for dropped/partial alignments (so heuristic and
+    failure semantics stay byte-faithful to the reference).
+    """
+
+    def __init__(self, W: Optional[int] = None, S_cap: Optional[int] = None,
+                 **kwargs):
+        from .align import WavefrontAligner
+        self._api = WavefrontAligner(backend="numpy", **kwargs)
+        self._W = W
+        self._S_cap = S_cap
+
+    def align(self, patterns: Sequence[str], texts: Sequence[str]
+              ) -> List[BatchResult]:
+        bp = [p.upper().encode("ascii") for p in patterns]
+        bt = [t.upper().encode("ascii") for t in texts]
+        attr = self._api._attributes()
+        wc = None
+        if self._api._wildcard:
+            wc = self._api._bwildcard
+        return align_pairs(attr, bp, bt, wildcard=wc,
+                           W=self._W, S_cap=self._S_cap)
+
+
+def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
+                texts: Sequence[bytes], wildcard: Optional[int] = None,
+                W: Optional[int] = None, S_cap: Optional[int] = None,
+                Lp: Optional[int] = None, Lt: Optional[int] = None,
+                _escalated: bool = False) -> List[BatchResult]:
+    """Align B pairs through the JAX engine; returns per-pair BatchResult.
+
+    Lp/Lt: padded token-array lengths (>= max sequence length); pass bucketed
+    values to stabilize compile-cache hits across calls.
+    """
+    import jax.numpy as jnp
+
+    B = len(patterns)
+    assert B == len(texts)
+    plens = np.array([len(p) for p in patterns], dtype=np.int32)
+    tlens = np.array([len(t) for t in texts], dtype=np.int32)
+    maxLp = int(plens.max()) if B else 0
+    maxLt = int(tlens.max()) if B else 0
+    attr0 = validate_alignment(attr, maxLp, maxLt)
+    scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
+    cfg = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
+                        wildcard=(wildcard if wildcard is not None else -1),
+                        W=W, S_cap=S_cap, record_choices=scope_full)
+    C = cfg.extend_chunk
+
+    pat = jnp.asarray(encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray(plens)
+    tlen = jnp.asarray(tlens)
+    form = attr0.form
+    if form.span == AlignmentSpan.ENDS_FREE:
+        frees_np = np.tile(np.array([[form.pattern_begin_free,
+                                      form.pattern_end_free,
+                                      form.text_begin_free,
+                                      form.text_end_free]], dtype=np.int32),
+                           (B, 1))
+        # per-pair clamp: frees may not exceed the sequence lengths
+        frees_np[:, 0] = np.minimum(frees_np[:, 0], plens)
+        frees_np[:, 1] = np.minimum(frees_np[:, 1], plens)
+        frees_np[:, 2] = np.minimum(frees_np[:, 2], tlens)
+        frees_np[:, 3] = np.minimum(frees_np[:, 3], tlens)
+    else:
+        frees_np = np.zeros((B, 4), dtype=np.int32)
+    frees = jnp.asarray(frees_np)
+    max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
+
+    out = E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
+    status = np.asarray(out["status"])
+    final_s = np.asarray(out["final_s"])
+    end_k = np.asarray(out["end_k"])
+
+    results: List[Optional[BatchResult]] = [None] * B
+    pen = attr0.penalties
+
+    clean = status == E.ST_END_REACHED
+    if scope_full and clean.any():
+        ok = jnp.asarray(clean)
+        ops_rev, n_ops, k_start, fb = E.traceback_walk(
+            cfg, out["choices"], out["final_s"], out["end_k"], ok)
+        ops_rev = np.asarray(ops_rev)
+        n_ops = np.asarray(n_ops)
+        k_start = np.asarray(k_start)
+        fb = np.asarray(fb)
+    else:
+        fb = np.zeros(B, dtype=bool)
+
+    oracle_idx: List[int] = []
+    escalate_idx: List[int] = []
+    end_off = np.asarray(out["end_off"])
+    for b in range(B):
+        st = int(status[b])
+        if st == E.ST_END_REACHED and (not scope_full):
+            s = int(final_s[b])
+            sc = classic_score(pen, int(plens[b]), int(tlens[b]), s)
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, "",
+                                     int(plens[b]), int(tlens[b]), s, False)
+        elif st == E.ST_END_REACHED and not fb[b]:
+            s = int(final_s[b])
+            ops = _match_fill(patterns[b], texts[b], ops_rev[b], int(n_ops[b]),
+                              int(k_start[b]), int(plens[b]), int(tlens[b]),
+                              wildcard)
+            ek = int(end_k[b])
+            eoff = int(end_off[b])
+            ev, eh = eoff - ek, eoff
+            # ends-free: trailing free ops, I-block then D-block
+            # (reference: backtrace.c:347-356 writes D's rightmost)
+            if eh < int(tlens[b]):
+                ops = ops + "I" * (int(tlens[b]) - eh)
+            if ev < int(plens[b]):
+                ops = ops + "D" * (int(plens[b]) - ev)
+            sc = classic_score(pen, ev, eh, s)
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev, eh,
+                                     s, False)
+        elif st == E.ST_MAX_STEPS:
+            results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
+                                     -int(max_steps), "", 0, 0,
+                                     int(final_s[b]), False)
+        elif st in (E.ST_OVERFLOW_W, E.ST_OVERFLOW_S) and not _escalated:
+            escalate_idx.append(b)
+        else:
+            # unreachable/z-drop/partial or inconsistent walk -> exact oracle
+            oracle_idx.append(b)
+
+    if escalate_idx:
+        # full-size no-overflow rerun for the overflowing pairs
+        sub = align_pairs(attr, [patterns[b] for b in escalate_idx],
+                          [texts[b] for b in escalate_idx], wildcard,
+                          W=None, S_cap=None, _escalated=True)
+        for b, r in zip(escalate_idx, sub):
+            results[b] = r
+
+    if oracle_idx:
+        orc = OracleAligner(attr, wildcard)
+        for b in oracle_idx:
+            r = orc.align(patterns[b], texts[b])
+            results[b] = BatchResult(r.status, r.score, r.ops, r.end_v,
+                                     r.end_h, r.wf_score, r.dropped)
+
+    return results  # type: ignore[return-value]

@@ -1,0 +1,1106 @@
+"""Batched TPU wavefront-alignment engine.
+
+The reference's one-pair-at-a-time, pointer-rich C engine
+(reference: wavefront_unialign.c:241-273 score loop) is re-designed here as a
+batched SPMD tensor program:
+
+- Wavefronts live in a dense ring buffer `offsets[comp, scope, B, W]`
+  (scope = max_score_scope, exactly the reference's modular memory,
+  wavefront_components.c:92-93). NULL = -2^30 sentinel.
+- The score loop is a `jax.lax.while_loop`; per-pair completion is masked.
+- Extension is a vectorized chunked compare over all diagonals of all pairs.
+- The M/I/D compute is shift+max over the band (wavefront_compute_affine.c:44-86).
+- Traceback: instead of the reference's pointer-chasing high-memory backtrace
+  (wavefront_backtrace.c:320-504) or pcigar blocks, each compute step records
+  a one-byte `choice` per cell encoding the argmax source under the exact
+  reference tie priorities (M > D2e > D2o > D1e > D1o > I2e > I2o > I1e >
+  I1o, wavefront_backtrace.c:49-59). A `lax.scan` walks the choice tensor
+  backwards to an op stream; match runs are re-derived greedily forward
+  (the same trick as the reference's pcigar unpack, wavefront_pcigar.c).
+
+Everything is static-shaped: band width W, score cap S_cap and batch B are
+compile-time constants; band/score overflow is detected and reported so the
+host can escalate to a bigger bucket.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    AlignmentSpan,
+    DistanceMetric,
+    HeuristicStrategy,
+    OFFSET_NULL,
+)
+
+NULL = jnp.int32(OFFSET_NULL)
+NULL_THRESHOLD = OFFSET_NULL // 2
+INT32_MAX = 2**31 - 1
+
+# internal engine statuses (per pair)
+ST_RUNNING = 0
+ST_END_REACHED = 1       # alignment end reached (clean completion)
+ST_END_UNREACHABLE = 2   # heuristic dead-end / z-drop
+ST_MAX_STEPS = 3         # user max_alignment_steps hit
+ST_OVERFLOW_W = 4        # band exceeded W -> escalate bucket
+ST_OVERFLOW_S = 5        # S_cap exceeded -> escalate bucket
+
+# component indices
+M, I1, D1, I2, D2 = 0, 1, 2, 3, 4
+
+# choice byte layout: bits 0-2 = M source, bit 3 = I1 ext, bit 4 = D1 ext,
+# bit 5 = I2 ext, bit 6 = D2 ext
+MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1, MSRC_I2, MSRC_D2, MSRC_SEED = 0, 1, 2, 3, 4, 5, 7
+
+# walk op codes (op stream emitted by traceback walk)
+WOP_END, WOP_X, WOP_I, WOP_D = 0, 1, 2, 3
+WOP_MFLAG = 4  # bit: op preceded by a (greedy) match run
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (compile-time) engine configuration."""
+
+    metric: DistanceMetric
+    # internal (post-Eizenga) penalties
+    match: int
+    mismatch: int
+    gap_opening1: int
+    gap_extension1: int
+    gap_opening2: int
+    gap_extension2: int
+    span: AlignmentSpan
+    # heuristics
+    strategy: int = 0  # HeuristicStrategy bitmask
+    min_wavefront_length: int = 10
+    max_distance_threshold: int = 50
+    steps_between_cutoffs: int = 1
+    xdrop: int = 20
+    zdrop: int = 20
+    band_min_k: int = -10
+    band_max_k: int = 10
+    internal_gap_e: int = 2
+    # shapes
+    W: int = 256          # band width (diagonals)
+    S_cap: int = 128      # max score steps this bucket supports
+    Lp: int = 160         # padded pattern length
+    Lt: int = 160         # padded text length
+    # behavior
+    record_choices: bool = True
+    extend_chunk: int = 16
+    wildcard: int = -1    # >= 0: wildcard byte code
+
+    @property
+    def n_comp(self) -> int:
+        if self.metric == DistanceMetric.GAP_AFFINE:
+            return 3
+        if self.metric == DistanceMetric.GAP_AFFINE_2P:
+            return 5
+        return 1
+
+    @property
+    def scope(self) -> int:
+        m = self.metric
+        if m in (DistanceMetric.INDEL, DistanceMetric.EDIT):
+            return 2
+        if m == DistanceMetric.GAP_LINEAR:
+            return max(self.mismatch, self.gap_opening1) + 1
+        if m == DistanceMetric.GAP_AFFINE:
+            return max(self.gap_opening1 + self.gap_extension1, self.mismatch) + 1
+        return max(max(self.gap_opening1 + self.gap_extension1,
+                       self.gap_opening2 + self.gap_extension2),
+                   self.mismatch) + 1
+
+    @property
+    def kmin(self) -> int:
+        return -(self.W // 2)
+
+
+def full_config(attr, plen: int, tlen: int, wildcard: int = -1,
+                W: Optional[int] = None, S_cap: Optional[int] = None,
+                Lp: Optional[int] = None, Lt: Optional[int] = None,
+                record_choices: bool = True) -> EngineConfig:
+    """Build a no-overflow config for sequences up to (plen, tlen)."""
+    pen = attr.penalties
+    scope_pad = pen.max_score_scope + 4
+    W_full = 2 * max(plen, tlen) + 2 * scope_pad + 8
+    if W is None:
+        W = W_full
+    W = _round_up(max(W, 32), 64)
+    if S_cap is None:
+        S_cap = _worst_case_score(pen, plen, tlen) + 2
+        S_cap = min(S_cap, attr.system.max_alignment_steps + 2)
+    S_cap = max(S_cap, 8)
+    h = attr.heuristic
+    return EngineConfig(
+        metric=pen.distance_metric,
+        match=pen.match,
+        mismatch=pen.mismatch,
+        gap_opening1=pen.gap_opening1,
+        gap_extension1=pen.gap_extension1,
+        gap_opening2=pen.gap_opening2,
+        gap_extension2=pen.gap_extension2,
+        span=attr.form.span,
+        strategy=int(h.strategy),
+        min_wavefront_length=h.min_wavefront_length,
+        max_distance_threshold=h.max_distance_threshold,
+        steps_between_cutoffs=h.steps_between_cutoffs,
+        xdrop=h.xdrop,
+        zdrop=h.zdrop,
+        band_min_k=h.min_k,
+        band_max_k=h.max_k,
+        internal_gap_e=pen.internal_gap_e,
+        W=W,
+        S_cap=S_cap,
+        Lp=Lp if Lp is not None else plen,
+        Lt=Lt if Lt is not None else tlen,
+        record_choices=record_choices,
+        wildcard=wildcard,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _worst_case_score(pen, plen: int, tlen: int) -> int:
+    """Upper bound on the WF score of a complete alignment.
+
+    (reference: wavefront_components.c num_wavefronts computation)
+    """
+    m = pen.distance_metric
+    diff = abs(plen - tlen)
+    mn = min(plen, tlen)
+    if m in (DistanceMetric.INDEL, DistanceMetric.EDIT):
+        return max(plen, tlen) + 1
+    if m == DistanceMetric.GAP_LINEAR:
+        return mn * pen.mismatch + pen.gap_opening1 * diff + 1
+    if m == DistanceMetric.GAP_AFFINE:
+        return mn * pen.mismatch + pen.gap_opening1 + diff * pen.gap_extension1 + 1
+    i1 = pen.gap_opening1 + diff * pen.gap_extension1
+    i2 = pen.gap_opening2 + diff * pen.gap_extension2
+    return mn * pen.mismatch + min(i1, i2) + 1
+
+
+# ===========================================================================
+# State
+# ===========================================================================
+
+def _init_state(cfg: EngineConfig, B: int, plen, tlen, frees, max_steps):
+    """Build the while_loop carry. All arrays int32 unless noted."""
+    W, scope, n_comp = cfg.W, cfg.scope, cfg.n_comp
+    kmin = cfg.kmin
+    karr = jnp.arange(W, dtype=jnp.int32) + kmin  # cell i -> diagonal k
+
+    offsets = jnp.full((n_comp, scope, B, W), NULL, dtype=jnp.int32)
+    lo = jnp.ones((n_comp, scope, B), dtype=jnp.int32)
+    hi = -jnp.ones((n_comp, scope, B), dtype=jnp.int32)
+    m_exists = jnp.zeros((scope, B), dtype=bool)
+
+    # --- WF0 seeding (reference: wavefront_aligner.c:251-310) ---
+    seeded = (cfg.span == AlignmentSpan.ENDS_FREE) and cfg.match == 0
+    if seeded:
+        tbf = frees[:, 2]  # text_begin_free
+        pbf = frees[:, 0]  # pattern_begin_free
+        wf0_lo = -pbf
+        wf0_hi = tbf
+        k = karr[None, :]
+        # k in [1, tbf] -> offset k; k in [-pbf, -1] -> 0; k == 0 -> 0
+        off0 = jnp.where((k >= 0) & (k <= wf0_hi[:, None]),
+                         jnp.maximum(k, 0),
+                         jnp.where((k < 0) & (k >= wf0_lo[:, None]), 0, NULL))
+        overflow = (wf0_lo < kmin + 2) | (wf0_hi > kmin + W - 3)
+    else:
+        wf0_lo = jnp.zeros((B,), dtype=jnp.int32)
+        wf0_hi = jnp.zeros((B,), dtype=jnp.int32)
+        off0 = jnp.where(karr[None, :] == 0, 0, NULL)
+        off0 = jnp.broadcast_to(off0, (B, W)).astype(jnp.int32)
+        overflow = jnp.zeros((B,), dtype=bool)
+
+    offsets = offsets.at[M, 0].set(off0.astype(jnp.int32))
+    lo = lo.at[M, 0].set(wf0_lo)
+    hi = hi.at[M, 0].set(wf0_hi)
+    m_exists = m_exists.at[0].set(True)
+
+    state = dict(
+        s=jnp.int32(0),
+        offsets=offsets,
+        lo=lo,
+        hi=hi,
+        m_exists=m_exists,
+        done=overflow,
+        status=jnp.where(overflow, ST_OVERFLOW_W, ST_RUNNING).astype(jnp.int32),
+        final_s=jnp.zeros((B,), dtype=jnp.int32),
+        end_k=jnp.zeros((B,), dtype=jnp.int32),
+        end_off=jnp.full((B,), NULL, dtype=jnp.int32),
+        num_null_steps=jnp.zeros((B,), dtype=jnp.int32),
+        # heuristic internals (reference: wavefront_heuristic.c:114-121)
+        h_steps_wait=jnp.full((B,), cfg.steps_between_cutoffs, dtype=jnp.int32),
+        h_max_sw=jnp.zeros((B,), dtype=jnp.int32),
+        h_max_sw_valid=jnp.zeros((B,), dtype=bool),
+        h_max_sw_k=jnp.zeros((B,), dtype=jnp.int32),
+        h_max_sw_off=jnp.full((B,), NULL, dtype=jnp.int32),
+        h_max_wf_score=jnp.zeros((B,), dtype=jnp.int32),
+    )
+    if cfg.record_choices:
+        state["choices"] = jnp.zeros((cfg.S_cap, B, W), dtype=jnp.uint8)
+    return state
+
+
+# ===========================================================================
+# Extension
+# ===========================================================================
+
+def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
+    """Greedy LCP extension of all diagonals, chunked compare.
+
+    pat/txt: [B, L+C] int8, padded with distinct sentinels so runs stop at
+    sequence ends without bounds checks (the tensor analog of the reference's
+    '!'/'?' EOS padding, wavefront_sequences.c:37-39,64-101).
+    off: [B, W] int32; band_mask: [B, W] bool (cells eligible).
+    """
+    C = cfg.extend_chunk
+    W = cfg.W
+    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    cr = jnp.arange(C, dtype=jnp.int32)
+
+    def cond(carry):
+        off, active = carry
+        return active.any()
+
+    def body(carry):
+        off, active = carry
+        v = off - karr[None, :]
+        h = off
+        # clip indices for the gather; invalid cells masked below
+        vi = jnp.clip(v, 0, cfg.Lp + C - 1)
+        hi_ = jnp.clip(h, 0, cfg.Lt + C - 1)
+        pidx = vi[:, :, None] + cr[None, None, :]
+        tidx = hi_[:, :, None] + cr[None, None, :]
+        pch = jnp.take_along_axis(pat[:, None, :], pidx, axis=2)
+        tch = jnp.take_along_axis(txt[:, None, :], tidx, axis=2)
+        eq = pch == tch
+        if cfg.wildcard >= 0:
+            wc = jnp.int8(cfg.wildcard)
+            eq = eq | (pch == wc) | (tch == wc)
+        run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)
+        ok = active & (v >= 0) & (h >= 0) & (v < plen[:, None]) & (h < tlen[:, None])
+        run = jnp.where(ok, run, 0)
+        off = off + run
+        active = ok & (run == C)
+        return off, active
+
+    active0 = band_mask & (off > NULL_THRESHOLD)
+    off, _ = jax.lax.while_loop(cond, body, (off, active0))
+    return off
+
+
+# ===========================================================================
+# Packed argmax helper (reference tie priorities)
+# ===========================================================================
+
+def _pack(value, prio):
+    """(value << 3) | prio; invalid (negative) candidates -> very negative."""
+    return jnp.where(value >= 0, (value << 3) | prio, jnp.int32(-2**30))
+
+
+# ===========================================================================
+# Step function
+# ===========================================================================
+
+def _band_mask(cfg, lo, hi):
+    """[B, W] mask of cells within [lo, hi]."""
+    karr = jnp.arange(cfg.W, dtype=jnp.int32) + cfg.kmin
+    return (karr[None, :] >= lo[:, None]) & (karr[None, :] <= hi[:, None])
+
+
+def _shift(x, dk):
+    """x[..., i+dk] viewed at i, NULL-padded (k -> k+dk read)."""
+    if dk == 0:
+        return x
+    W = x.shape[-1]
+    pad = jnp.full(x.shape[:-1] + (abs(dk),), NULL, dtype=x.dtype)
+    if dk > 0:
+        return jnp.concatenate([x[..., dk:], pad], axis=-1)
+    return jnp.concatenate([pad, x[..., :dk]], axis=-1)
+
+
+def _fetch(cfg, state, comp, score):
+    """Wavefront (offsets, lo, hi, is_null[B]) for `score` from the ring.
+
+    Invalid scores (< 0) read as null. Ring slots always hold the wavefront
+    of the score they were last written for; scope >= max penalty + 1
+    guarantees no aliasing within the live window
+    (reference: wavefront_compute.c:298-344 modular fetch).
+    """
+    B = state["offsets"].shape[2]
+    valid = score >= 0
+    slot = jnp.maximum(score, 0) % cfg.scope
+    off = state["offsets"][comp, slot]
+    lo = state["lo"][comp, slot]
+    hi = state["hi"][comp, slot]
+    off = jnp.where(valid, off, NULL)
+    lo = jnp.where(valid, lo, 1)
+    hi = jnp.where(valid, hi, -1)
+    if comp == M:
+        exists = state["m_exists"][slot] & valid
+    else:
+        exists = valid
+    is_null = (~exists) | (lo > hi)
+    return off, lo, hi, is_null
+
+
+def _compute_limits(parts):
+    """Union of non-null input bands, each widened by its role.
+
+    parts: list of (lo, hi, is_null, widen). Returns (lo, hi) [B].
+    (reference: wavefront_compute.c:40-86; null inputs' {0} contribution is
+    dropped -- post-trim equivalent, see oracle._limits_union)
+    """
+    big = jnp.int32(2**30)
+    los = []
+    his = []
+    for lo, hi, is_null, widen in parts:
+        los.append(jnp.where(is_null, big, lo - widen))
+        his.append(jnp.where(is_null, -big, hi + widen))
+    lo = functools.reduce(jnp.minimum, los)
+    hi = functools.reduce(jnp.maximum, his)
+    return lo, hi
+
+
+def _trim_ends(cfg, off, lo, hi, plen, tlen):
+    """Vectorized wavefront_compute_trim_ends (reference: :571-624).
+
+    Returns (new_lo, new_hi). Cells outside the band keep their values; the
+    storage invariant (NULL outside band) is enforced by the caller's mask.
+    """
+    W = cfg.W
+    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    band = _band_mask(cfg, lo, hi)
+    v = off - karr[None, :]
+    h = off
+    inb = band & (h >= 0) & (h <= tlen[:, None]) & (v >= 0) & (v <= plen[:, None])
+    any_ok = inb.any(axis=1)
+    first = jnp.argmax(inb, axis=1).astype(jnp.int32) + cfg.kmin
+    last = (W - 1 - jnp.argmax(inb[:, ::-1], axis=1)).astype(jnp.int32) + cfg.kmin
+    new_lo = jnp.where(any_ok, first, 1)
+    new_hi = jnp.where(any_ok, last, -1)
+    return new_lo, new_hi
+
+
+def _apply_band(off, mask):
+    return jnp.where(mask, off, NULL)
+
+
+def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active):
+    """Compute wavefront for score s+1 (reference: per-metric compute_*.c).
+
+    `active`: [B] pairs still running. Updates ring slot (s+1) % scope.
+    Returns (state, overflow[B]).
+    """
+    s_next = state["s"] + 1
+    slot = s_next % cfg.scope
+    B, W = state["offsets"].shape[2], cfg.W
+    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    metric = cfg.metric
+
+    if metric in (DistanceMetric.INDEL, DistanceMetric.EDIT):
+        return _step_compute_edit(cfg, state, plen, tlen, frees, active)
+
+    x = cfg.mismatch
+    o1e1 = cfg.gap_opening1 + cfg.gap_extension1
+    e1 = cfg.gap_extension1
+
+    mm_off, mm_lo, mm_hi, mm_null = _fetch(cfg, state, M, s_next - x)
+    if metric == DistanceMetric.GAP_LINEAR:
+        op_off, op_lo, op_hi, op_null = _fetch(cfg, state, M, s_next - cfg.gap_opening1)
+        all_null = mm_null & op_null
+        lo_n, hi_n = _compute_limits([
+            (mm_lo, mm_hi, mm_null, 0), (op_lo, op_hi, op_null, 1)])
+        ins1 = _shift(op_off, -1)
+        del1 = _shift(op_off, +1)
+        mis = mm_off + 1
+        # M = max(del1, max(mis-1, ins1)+1) (reference: compute_linear.c:58-66)
+        cand_x = _pack(mis, 5)
+        cand_i = _pack(ins1 + 1, 1)
+        cand_d = _pack(del1, 3)
+        packed = jnp.maximum(cand_d, jnp.maximum(cand_x, cand_i))
+        mvals = packed >> 3
+        msrc = jnp.where(packed < 0, MSRC_NONE,
+                         jnp.where(packed & 7 == 5, MSRC_X,
+                                   jnp.where(packed & 7 == 3, MSRC_D1, MSRC_I1)))
+        mvals = jnp.where(packed < 0, NULL, mvals)
+        outs = {M: mvals}
+        out_null = {M: all_null}
+        choice = msrc.astype(jnp.uint8)
+    else:
+        op1_off, op1_lo, op1_hi, op1_null = _fetch(cfg, state, M, s_next - o1e1)
+        i1_off, i1_lo, i1_hi, i1_null = _fetch(cfg, state, I1, s_next - e1)
+        d1_off, d1_lo, d1_hi, d1_null = _fetch(cfg, state, D1, s_next - e1)
+        parts = [(mm_lo, mm_hi, mm_null, 0), (op1_lo, op1_hi, op1_null, 1),
+                 (i1_lo, i1_hi, i1_null, 1), (d1_lo, d1_hi, d1_null, 1)]
+        all_null = mm_null & op1_null & i1_null & d1_null
+
+        # I1/D1 with open-vs-ext sub-choice (ext wins ties: prio 1 > 0)
+        i1o = _pack(_shift(op1_off, -1) + 1, 0)
+        i1e = _pack(_shift(i1_off, -1) + 1, 1)
+        i1p = jnp.maximum(i1o, i1e)
+        ins1 = jnp.where(i1p < 0, _shift(jnp.maximum(op1_off, i1_off), -1) + 1,
+                         i1p >> 3)
+        i1_ext_bit = (i1p >= 0) & ((i1p & 7) == 1)
+        d1o = _pack(_shift(op1_off, +1), 0)
+        d1e = _pack(_shift(d1_off, +1), 1)
+        d1p = jnp.maximum(d1o, d1e)
+        del1 = jnp.where(d1p < 0, _shift(jnp.maximum(op1_off, d1_off), +1),
+                         d1p >> 3)
+        d1_ext_bit = (d1p >= 0) & ((d1p & 7) == 1)
+        mis = mm_off + 1
+
+        if metric == DistanceMetric.GAP_AFFINE:
+            all_null_2p = None
+            lo_n, hi_n = _compute_limits(parts)
+            # M argmax with global priorities X(5) > D1(3) > I1(1)
+            pm = jnp.maximum(_pack(mis, 5),
+                             jnp.maximum(_pack(del1, 3), _pack(ins1, 1)))
+            mvals = jnp.where(pm < 0,
+                              jnp.maximum(mis, jnp.maximum(del1, ins1)),
+                              pm >> 3)
+            msrc = jnp.where(pm < 0, MSRC_NONE,
+                             jnp.where((pm & 7) == 5, MSRC_X,
+                                       jnp.where((pm & 7) == 3, MSRC_D1, MSRC_I1)))
+            outs = {M: mvals, I1: ins1, D1: del1}
+            out_null = {M: all_null,
+                        I1: op1_null & i1_null,
+                        D1: op1_null & d1_null}
+            choice = (msrc | (i1_ext_bit << 3) | (d1_ext_bit << 4)).astype(jnp.uint8)
+        else:  # GAP_AFFINE_2P
+            o2e2 = cfg.gap_opening2 + cfg.gap_extension2
+            e2 = cfg.gap_extension2
+            op2_off, op2_lo, op2_hi, op2_null = _fetch(cfg, state, M, s_next - o2e2)
+            i2_off, i2_lo, i2_hi, i2_null = _fetch(cfg, state, I2, s_next - e2)
+            d2_off, d2_lo, d2_hi, d2_null = _fetch(cfg, state, D2, s_next - e2)
+            parts += [(op2_lo, op2_hi, op2_null, 1), (i2_lo, i2_hi, i2_null, 1),
+                      (d2_lo, d2_hi, d2_null, 1)]
+            all_null = all_null & op2_null & i2_null & d2_null
+            lo_n, hi_n = _compute_limits(parts)
+
+            i2o = _pack(_shift(op2_off, -1) + 1, 0)
+            i2e_ = _pack(_shift(i2_off, -1) + 1, 1)
+            i2p = jnp.maximum(i2o, i2e_)
+            ins2 = jnp.where(i2p < 0,
+                             _shift(jnp.maximum(op2_off, i2_off), -1) + 1,
+                             i2p >> 3)
+            i2_ext_bit = (i2p >= 0) & ((i2p & 7) == 1)
+            d2o = _pack(_shift(op2_off, +1), 0)
+            d2e_ = _pack(_shift(d2_off, +1), 1)
+            d2p = jnp.maximum(d2o, d2e_)
+            del2 = jnp.where(d2p < 0,
+                             _shift(jnp.maximum(op2_off, d2_off), +1),
+                             d2p >> 3)
+            d2_ext_bit = (d2p >= 0) & ((d2p & 7) == 1)
+            # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1)
+            pm = functools.reduce(jnp.maximum, [
+                _pack(mis, 5), _pack(del2, 4), _pack(del1, 3),
+                _pack(ins2, 2), _pack(ins1, 1)])
+            raw = functools.reduce(jnp.maximum, [mis, del2, del1, ins2, ins1])
+            mvals = jnp.where(pm < 0, raw, pm >> 3)
+            pr = pm & 7
+            msrc = jnp.where(pm < 0, MSRC_NONE,
+                             jnp.where(pr == 5, MSRC_X,
+                                       jnp.where(pr == 4, MSRC_D2,
+                                                 jnp.where(pr == 3, MSRC_D1,
+                                                           jnp.where(pr == 2, MSRC_I2, MSRC_I1)))))
+            outs = {M: mvals, I1: ins1, D1: del1, I2: ins2, D2: del2}
+            out_null = {M: all_null,
+                        I1: op1_null & i1_null, D1: op1_null & d1_null,
+                        I2: op2_null & i2_null, D2: op2_null & d2_null}
+            choice = (msrc | (i1_ext_bit << 3) | (d1_ext_bit << 4)
+                      | (i2_ext_bit << 5) | (d2_ext_bit << 6)).astype(jnp.uint8)
+
+    # bounds-check M only (reference: compute_affine.c:79-84)
+    h = outs[M]
+    v = outs[M] - karr[None, :]
+    bad = (h < 0) | (h > tlen[:, None]) | (v < 0) | (v > plen[:, None])
+    outs[M] = jnp.where(bad, NULL, outs[M])
+
+    # null-step accounting (reference: compute_affine.c:241-247)
+    null_step = all_null & active
+    state["num_null_steps"] = jnp.where(
+        null_step, state["num_null_steps"] + 1,
+        jnp.where(active, 0, state["num_null_steps"]))
+
+    # ends-free per-score boundary seeding when match != 0
+    # (reference: wavefront_compute.c:124-254)
+    if (cfg.span == AlignmentSpan.ENDS_FREE) and cfg.match != 0:
+        outs, lo_n, hi_n, choice, null_step = _endsfree_seed(
+            cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr)
+
+    # band overflow check (pre-padding)
+    overflow = active & (~null_step) & (
+        (lo_n < cfg.kmin + 2) | (hi_n > cfg.kmin + W - 3))
+    lo_n = jnp.clip(lo_n, cfg.kmin + 2, cfg.kmin + W - 3)
+    hi_n = jnp.clip(hi_n, cfg.kmin + 2, cfg.kmin + W - 3)
+
+    # write outputs: only active, non-null-step pairs produce wavefronts
+    write = active & (~null_step)
+    band = _band_mask(cfg, lo_n, hi_n) & write[:, None]
+
+    new_offsets = state["offsets"]
+    new_lo = state["lo"]
+    new_hi = state["hi"]
+    for comp, vals in outs.items():
+        if comp == M:
+            # M is always materialized on a non-null step
+            # (reference: wavefront_compute.c:438-443)
+            produced = write
+        else:
+            produced = write & (~out_null[comp])
+        cm = band & produced[:, None]
+        arr = jnp.where(cm, vals, NULL)
+        # trim ends (reference: wavefront_compute.c:571-624)
+        tlo, thi = _trim_ends(cfg, arr, lo_n, hi_n, plen, tlen)
+        tlo = jnp.where(produced, tlo, 1)
+        thi = jnp.where(produced, thi, -1)
+        arr = _apply_band(arr, _band_mask(cfg, tlo, thi))
+        new_offsets = new_offsets.at[comp, slot].set(arr)
+        new_lo = new_lo.at[comp, slot].set(tlo)
+        new_hi = new_hi.at[comp, slot].set(thi)
+
+    state["offsets"] = new_offsets
+    state["lo"] = new_lo
+    state["hi"] = new_hi
+    state["m_exists"] = state["m_exists"].at[slot].set(write)
+
+    if cfg.record_choices:
+        # record over the pre-trim band: I/D sub-choice bits are needed
+        # wherever I/D cells are valid, which can exceed M's trimmed band
+        ch = jnp.where(band, choice, 0).astype(jnp.uint8)
+        state["choices"] = jax.lax.dynamic_update_index_in_dim(
+            state["choices"], ch, s_next, axis=0)
+    return state, overflow
+
+
+def _seeded_exists(cfg, s_next, frees):
+    """Whether a null-step still yields a seeded M wavefront (match != 0)."""
+    if (cfg.span != AlignmentSpan.ENDS_FREE) or cfg.match == 0:
+        return False
+    need = (s_next % (-cfg.match)) == 0
+    ek = s_next // (-cfg.match)
+    return need & ((frees[:, 2] >= ek) | (frees[:, 0] >= ek))
+
+
+def _endsfree_seed(cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr):
+    """Ends-free boundary seeding for match != 0 (reference: compute.c:124-254)."""
+    mvals = outs[M]
+    need = (s_next % (-cfg.match)) == 0
+    if not isinstance(need, jnp.ndarray):
+        need = jnp.array(need)
+    ek = s_next // (-cfg.match)
+    tb = frees[:, 2] >= ek
+    pb = frees[:, 0] >= ek
+    # text-begin seed at k=+ek, offset ek, when stored <= ek
+    kcell = karr[None, :]
+    at_pk = kcell == ek
+    at_nk = kcell == -ek
+    seed_t = need & tb
+    seed_p = need & pb
+    do_t = seed_t[:, None] & at_pk & (mvals <= ek)
+    do_p = seed_p[:, None] & at_nk & (mvals <= 0)
+    mvals = jnp.where(do_t, ek, mvals)
+    mvals = jnp.where(do_p, 0, mvals)
+    choice = jnp.where(do_t | do_p, jnp.uint8(MSRC_SEED), choice)
+    # widen band to cover the seeds
+    lo_n = jnp.where(seed_p & null_step, -ek,
+                     jnp.where(seed_p, jnp.minimum(lo_n, -ek), lo_n))
+    hi_n = jnp.where(seed_t & null_step, ek,
+                     jnp.where(seed_t, jnp.maximum(hi_n, ek), hi_n))
+    lo_n = jnp.where(null_step & seed_t & ~seed_p, ek, lo_n)
+    hi_n = jnp.where(null_step & seed_p & ~seed_t, -ek, hi_n)
+    outs[M] = mvals
+    null_step = null_step & ~(seed_t | seed_p)
+    return outs, lo_n, hi_n, choice, null_step
+
+
+def _step_compute_edit(cfg, state, plen, tlen, frees, active):
+    """Edit/indel compute (reference: wavefront_compute_edit.c:330-374)."""
+    s_next = state["s"] + 1
+    slot = s_next % cfg.scope
+    W = cfg.W
+    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    p_off, p_lo, p_hi, p_null = _fetch(cfg, state, M, s_next - 1)
+    lo_n = p_lo - 1
+    hi_n = p_hi + 1
+    ins_src = _shift(p_off, -1)
+    del_src = _shift(p_off, +1)
+    if cfg.metric == DistanceMetric.INDEL:
+        cand_i = _pack(ins_src + 1, 1)
+        cand_d = _pack(del_src, 3)
+        pm = jnp.maximum(cand_i, cand_d)
+        mvals = jnp.where(pm < 0, jnp.maximum(ins_src + 1, del_src), pm >> 3)
+        msrc = jnp.where(pm < 0, MSRC_NONE,
+                         jnp.where((pm & 7) == 3, MSRC_D1, MSRC_I1))
+    else:
+        cand_x = _pack(p_off + 1, 5)
+        cand_i = _pack(ins_src + 1, 1)
+        cand_d = _pack(del_src, 3)
+        pm = functools.reduce(jnp.maximum, [cand_x, cand_d, cand_i])
+        raw = jnp.maximum(del_src, jnp.maximum(ins_src, p_off) + 1)
+        mvals = jnp.where(pm < 0, raw, pm >> 3)
+        pr = pm & 7
+        msrc = jnp.where(pm < 0, MSRC_NONE,
+                         jnp.where(pr == 5, MSRC_X,
+                                   jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
+    h = mvals
+    v = mvals - karr[None, :]
+    bad = (h < 0) | (h > tlen[:, None]) | (v < 0) | (v > plen[:, None])
+    mvals = jnp.where(bad, NULL, mvals)
+
+    overflow = active & ((lo_n < cfg.kmin + 2) | (hi_n > cfg.kmin + W - 3))
+    lo_n = jnp.clip(lo_n, cfg.kmin + 2, cfg.kmin + W - 3)
+    hi_n = jnp.clip(hi_n, cfg.kmin + 2, cfg.kmin + W - 3)
+
+    band = _band_mask(cfg, lo_n, hi_n) & active[:, None]
+    arr = jnp.where(band, mvals, NULL)
+    tlo, thi = _trim_ends(cfg, arr, lo_n, hi_n, plen, tlen)
+    tlo = jnp.where(active, tlo, 1)
+    thi = jnp.where(active, thi, -1)
+    arr = _apply_band(arr, _band_mask(cfg, tlo, thi))
+    state["offsets"] = state["offsets"].at[M, slot].set(arr)
+    state["lo"] = state["lo"].at[M, slot].set(tlo)
+    state["hi"] = state["hi"].at[M, slot].set(thi)
+    state["m_exists"] = state["m_exists"].at[slot].set(active)
+    # curr null -> effectively unreachable (reference: compute_edit.c:366)
+    state["num_null_steps"] = jnp.where(active & (tlo > thi),
+                                        jnp.int32(2**30),
+                                        state["num_null_steps"])
+    if cfg.record_choices:
+        ch = jnp.where(band, msrc, 0).astype(jnp.uint8)
+        state["choices"] = jax.lax.dynamic_update_index_in_dim(
+            state["choices"], ch, s_next, axis=0)
+    return state, overflow
+
+
+# ===========================================================================
+# Termination
+# ===========================================================================
+
+def _terminate_end2end(cfg, off, lo, hi, exists, plen, tlen):
+    """(reference: wavefront_termination.c:37-114, component_end = M)"""
+    ak = tlen - plen
+    idx = jnp.clip(ak - cfg.kmin, 0, cfg.W - 1)
+    cell = jnp.take_along_axis(off, idx[:, None], axis=1)[:, 0]
+    hit = exists & (lo <= ak) & (ak <= hi) & (cell >= tlen)
+    return hit, ak, tlen
+
+
+def _terminate_endsfree(cfg, off, lo, hi, exists, plen, tlen, frees):
+    """(reference: wavefront_termination.c:115-162; lowest-k hit wins)"""
+    W = cfg.W
+    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    band = _band_mask(cfg, lo, hi)
+    valid = band & (off > NULL_THRESHOLD)
+    v = off - karr[None, :]
+    h = off
+    pef = frees[:, 1][:, None]
+    tef = frees[:, 3][:, None]
+    done_h = valid & (h >= tlen[:, None]) & ((plen[:, None] - v) <= pef)
+    done_v = valid & (v >= plen[:, None]) & ((tlen[:, None] - h) <= tef)
+    done = done_h | done_v
+    hit = exists & done.any(axis=1)
+    first = jnp.argmax(done, axis=1).astype(jnp.int32)
+    kk = first + cfg.kmin
+    end_off = jnp.take_along_axis(off, first[:, None], axis=1)[:, 0]
+    return hit, kk, end_off
+
+
+# ===========================================================================
+# Heuristics (reference: wavefront_heuristic.c:509-567 cascade)
+# ===========================================================================
+
+def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
+    """Apply the heuristic cascade to M[s]; returns (state, zdropped[B])."""
+    strat = cfg.strategy
+    B = plen.shape[0]
+    if strat == 0:
+        return state, jnp.zeros((B,), dtype=bool)
+    s = state["s"]
+    slot = s % cfg.scope
+    off = state["offsets"][M, slot]
+    lo = state["lo"][M, slot]
+    hi = state["hi"][M, slot]
+    exists = state["m_exists"][slot]
+    eligible = active & exists & (lo <= hi)
+
+    state["h_steps_wait"] = jnp.where(eligible, state["h_steps_wait"] - 1,
+                                      state["h_steps_wait"])
+    ready = eligible & (state["h_steps_wait"] <= 0)
+    lo_base, hi_base = lo, hi
+    karr = jnp.arange(cfg.W, dtype=jnp.int32) + cfg.kmin
+    zdropped = jnp.zeros((B,), dtype=bool)
+    acted = jnp.zeros((B,), dtype=bool)
+
+    if strat & (HeuristicStrategy.WFADAPTIVE | HeuristicStrategy.WFMASH):
+        wfmash = bool(strat & HeuristicStrategy.WFMASH)
+        do = ready & ((hi - lo + 1) >= cfg.min_wavefront_length)
+        band = _band_mask(cfg, lo, hi)
+        v = off - karr[None, :]
+        h = off
+        if wfmash:
+            mfactor = ((plen + tlen).astype(jnp.float32) / 2)
+            lv = ((plen[:, None] - v).astype(jnp.float32)
+                  / plen[:, None].astype(jnp.float32) * mfactor[:, None]).astype(jnp.int32)
+            lh = ((tlen[:, None] - h).astype(jnp.float32)
+                  / tlen[:, None].astype(jnp.float32) * mfactor[:, None]).astype(jnp.int32)
+            dist = jnp.maximum(lv, lh)
+        else:
+            dist = jnp.maximum(plen[:, None] - v, tlen[:, None] - h)
+        dist = jnp.where(off >= 0, dist, -jnp.int32(OFFSET_NULL))
+        big = jnp.int32(2**30)
+        mind = jnp.min(jnp.where(band, dist,
+                                 jnp.maximum(plen, tlen)[:, None]), axis=1)
+        keep = (dist - mind[:, None]) <= cfg.max_distance_threshold
+        ak = tlen - plen
+        # reduce from bottom over [lo, min(ak, hi)) (reference: :236-248)
+        top_limit = jnp.minimum(ak, hi)
+        in_bot = band & (karr[None, :] < top_limit[:, None])
+        stop_bot = in_bot & keep
+        any_bot = stop_bot.any(axis=1)
+        first_keep = jnp.argmax(stop_bot, axis=1).astype(jnp.int32) + cfg.kmin
+        lo_red = jnp.where(any_bot, first_keep, jnp.maximum(top_limit, lo))
+        new_lo = jnp.where(do, jnp.maximum(lo_red, lo), lo)
+        # reduce from top over (max(ak, new_lo), hi]
+        bot_limit = jnp.maximum(ak, new_lo)
+        in_top = band & (karr[None, :] > bot_limit[:, None])
+        stop_top = in_top & keep
+        any_top = stop_top.any(axis=1)
+        last_keep = (cfg.W - 1 - jnp.argmax(stop_top[:, ::-1], axis=1)
+                     ).astype(jnp.int32) + cfg.kmin
+        hi_red = jnp.where(any_top, last_keep, jnp.minimum(bot_limit, hi))
+        new_hi = jnp.where(do, jnp.minimum(hi_red, hi), hi)
+        lo, hi = new_lo, new_hi
+        acted = acted | do
+        state["h_steps_wait"] = jnp.where(do, cfg.steps_between_cutoffs,
+                                          state["h_steps_wait"])
+
+    if strat & (HeuristicStrategy.XDROP | HeuristicStrategy.ZDROP):
+        do = ready
+        band = _band_mask(cfg, lo, hi)
+        swg_match = -cfg.match if cfg.match != 0 else 1
+        v = off - karr[None, :]
+        h = off
+        # trunc division by 2 (C semantics); operands can be negative
+        num = swg_match * (v + h) - s
+        sw = jnp.where(num >= 0, num // 2, -((-num) // 2))
+        valid = band & (off >= 0)
+        neg_big = jnp.int32(-2**30)
+        swm = jnp.where(valid, sw, neg_big)
+        cmax = jnp.max(swm, axis=1)
+        cidx = jnp.argmax(swm, axis=1).astype(jnp.int32)
+        cmax_k = cidx + cfg.kmin
+        cmax_off = jnp.take_along_axis(off, cidx[:, None], axis=1)[:, 0]
+        have_hist = state["h_max_sw_valid"]
+        if strat & HeuristicStrategy.XDROP:
+            prune = do & have_hist
+            keep = valid & ((state["h_max_sw"][:, None] - sw) < cfg.xdrop)
+            any_keep = keep.any(axis=1)
+            first = jnp.argmax(keep, axis=1).astype(jnp.int32) + cfg.kmin
+            last = (cfg.W - 1 - jnp.argmax(keep[:, ::-1], axis=1)
+                    ).astype(jnp.int32) + cfg.kmin
+            lo = jnp.where(prune, jnp.where(any_keep, first, hi + 1), lo)
+            hi = jnp.where(prune, jnp.where(any_keep, last, lo - 1), hi)
+            upd = do & ((~have_hist) | (cmax > state["h_max_sw"]))
+            state["h_max_sw"] = jnp.where(upd, cmax, state["h_max_sw"])
+            state["h_max_sw_k"] = jnp.where(upd, cmax_k, state["h_max_sw_k"])
+            state["h_max_sw_valid"] = state["h_max_sw_valid"] | do
+            acted = acted | do
+            state["h_steps_wait"] = jnp.where(do, cfg.steps_between_cutoffs,
+                                              state["h_steps_wait"])
+        else:  # ZDROP
+            improved = cmax > state["h_max_sw"]
+            zdropped = do & have_hist & (~improved) & (
+                (state["h_max_sw"] - cmax) > cfg.zdrop)
+            upd = do & ((~have_hist) | improved)
+            state["h_max_sw"] = jnp.where(upd, cmax, state["h_max_sw"])
+            state["h_max_wf_score"] = jnp.where(upd, s, state["h_max_wf_score"])
+            state["h_max_sw_k"] = jnp.where(upd, cmax_k, state["h_max_sw_k"])
+            state["h_max_sw_off"] = jnp.where(upd, cmax_off, state["h_max_sw_off"])
+            state["h_max_sw_valid"] = state["h_max_sw_valid"] | do
+            acted = acted | (do & ~zdropped)
+            state["h_steps_wait"] = jnp.where(do & ~zdropped,
+                                              cfg.steps_between_cutoffs,
+                                              state["h_steps_wait"])
+
+    if strat & HeuristicStrategy.BANDED_STATIC:
+        lo = jnp.where(eligible, jnp.maximum(lo, cfg.band_min_k), lo)
+        hi = jnp.where(eligible, jnp.minimum(hi, cfg.band_max_k), hi)
+    elif strat & HeuristicStrategy.BANDED_ADAPTIVE:
+        wf_len = hi - lo + 1
+        max_len = cfg.band_max_k - cfg.band_min_k + 1
+        do = ready & (wf_len >= 4) & (wf_len > max_len)
+
+        def dist_at(kq):
+            idx = jnp.clip(kq - cfg.kmin, 0, cfg.W - 1)
+            o = jnp.take_along_axis(off, idx[:, None], axis=1)[:, 0]
+            d = jnp.maximum(plen - (o - kq), tlen - o)
+            return jnp.where(o >= 0, d, -jnp.int32(OFFSET_NULL))
+
+        leeway = (wf_len - max_len) // 2
+        quarter = wf_len // 4
+        d0 = dist_at(lo)
+        d1 = dist_at(lo + quarter)
+        d2 = dist_at(lo + 2 * quarter)
+        d3 = dist_at(hi)
+        new_lo0 = lo + jnp.where(d0 > d3, leeway, 0) + jnp.where(d1 > d2, leeway, 0)
+        nlo = jnp.maximum(new_lo0, lo)
+        nhi = jnp.minimum(new_lo0 + max_len - 1, hi)
+        lo = jnp.where(do, nlo, lo)
+        hi = jnp.where(do, nhi, hi)
+        acted = acted | do
+        state["h_steps_wait"] = jnp.where(do, cfg.steps_between_cutoffs,
+                                          state["h_steps_wait"])
+
+    changed = eligible & ((lo != lo_base) | (hi != hi_base))
+    # install pruned M band + re-establish NULL-outside invariant
+    new_band = _band_mask(cfg, lo, hi)
+    off2 = jnp.where(changed[:, None], _apply_band(off, new_band), off)
+    state["offsets"] = state["offsets"].at[M, slot].set(off2)
+    state["lo"] = state["lo"].at[M, slot].set(jnp.where(changed, lo, lo_base))
+    state["hi"] = state["hi"].at[M, slot].set(jnp.where(changed, hi, hi_base))
+    # equate I/D to M's band (reference: :554-565)
+    if cfg.n_comp > 1:
+        for comp in range(1, cfg.n_comp):
+            clo = state["lo"][comp, slot]
+            chi = state["hi"][comp, slot]
+            nlo = jnp.where(changed, jnp.maximum(clo, lo), clo)
+            nhi = jnp.where(changed, jnp.minimum(chi, hi), chi)
+            coff = state["offsets"][comp, slot]
+            coff = jnp.where(changed[:, None],
+                             _apply_band(coff, _band_mask(cfg, nlo, nhi)), coff)
+            state["offsets"] = state["offsets"].at[comp, slot].set(coff)
+            state["lo"] = state["lo"].at[comp, slot].set(nlo)
+            state["hi"] = state["hi"].at[comp, slot].set(nhi)
+    return state, zdropped
+
+
+# ===========================================================================
+# Main loop
+# ===========================================================================
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
+    """Batched WFA over B pairs.
+
+    pat: [B, Lp + C] int8 (sentinel-padded), txt: [B, Lt + C] int8,
+    plen/tlen: [B] int32, frees: [B, 4] int32
+    (pattern_begin, pattern_end, text_begin, text_end), max_steps: [] int32.
+
+    Returns dict with per-pair status/final_s/end_k/end_off (+ choices).
+    """
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    end2end = cfg.span == AlignmentSpan.END_TO_END
+
+    def cond(state):
+        return (~state["done"]).any() & (state["s"] < cfg.S_cap - 1)
+
+    def body(state):
+        s = state["s"]
+        slot = s % cfg.scope
+        active = ~state["done"]
+        off = state["offsets"][M, slot]
+        lo = state["lo"][M, slot]
+        hi = state["hi"][M, slot]
+        exists = state["m_exists"][slot]
+
+        # --- null-pointer feasibility (reference: extend.c:100-106) ---
+        dead = active & (~exists) & (
+            state["num_null_steps"] > cfg.scope)
+        state["done"] = state["done"] | dead
+        state["status"] = jnp.where(dead, ST_END_UNREACHABLE, state["status"])
+        state["final_s"] = jnp.where(dead, s, state["final_s"])
+        active = active & ~dead
+
+        # --- extension (only pairs with an existing M wavefront) ---
+        band = _band_mask(cfg, lo, hi) & (active & exists)[:, None]
+        off = _extend_band(cfg, pat, txt, plen, tlen, off, band)
+        state["offsets"] = state["offsets"].at[M, slot].set(off)
+
+        # --- termination ---
+        if end2end:
+            hit, kk, eoff = _terminate_end2end(cfg, off, lo, hi, exists, plen, tlen)
+        else:
+            hit, kk, eoff = _terminate_endsfree(cfg, off, lo, hi, exists,
+                                                plen, tlen, frees)
+        hit = hit & active
+        state["done"] = state["done"] | hit
+        state["status"] = jnp.where(hit, ST_END_REACHED, state["status"])
+        state["final_s"] = jnp.where(hit, s, state["final_s"])
+        state["end_k"] = jnp.where(hit, kk, state["end_k"])
+        state["end_off"] = jnp.where(hit, eoff, state["end_off"])
+        active = active & ~hit
+
+        # --- heuristics ---
+        state, zdropped = _heuristic_cutoff(cfg, state, plen, tlen, frees,
+                                            active & exists)
+        state["done"] = state["done"] | zdropped
+        state["status"] = jnp.where(zdropped, ST_END_UNREACHABLE, state["status"])
+        state["final_s"] = jnp.where(zdropped, s, state["final_s"])
+        # z-drop records the historical max position as the end position
+        state["end_k"] = jnp.where(zdropped, state["h_max_sw_k"], state["end_k"])
+        state["end_off"] = jnp.where(zdropped, state["h_max_sw_off"],
+                                     state["end_off"])
+        active = active & ~zdropped
+
+        # --- compute s+1 ---
+        state, overflow = _step_compute(cfg, state, pat, txt, plen, tlen,
+                                        frees, active)
+        state["done"] = state["done"] | overflow
+        state["status"] = jnp.where(overflow, ST_OVERFLOW_W, state["status"])
+        active = active & ~overflow
+
+        # --- max-steps probe (reference: unialign.c:100-107) ---
+        s_next = s + 1
+        hit_max = active & (s_next >= max_steps)
+        state["done"] = state["done"] | hit_max
+        state["status"] = jnp.where(hit_max, ST_MAX_STEPS, state["status"])
+        state["final_s"] = jnp.where(hit_max, s_next, state["final_s"])
+
+        state["s"] = s_next
+        return state
+
+    state = jax.lax.while_loop(cond, body, state)
+    # pairs still running at S_cap -> score-cap overflow (escalate)
+    running = ~state["done"]
+    state["status"] = jnp.where(running, ST_OVERFLOW_S, state["status"])
+    state["final_s"] = jnp.where(running, state["s"], state["final_s"])
+
+    out = dict(
+        status=state["status"],
+        final_s=state["final_s"],
+        end_k=state["end_k"],
+        end_off=state["end_off"],
+        steps=state["s"],
+    )
+    if cfg.record_choices:
+        out["choices"] = state["choices"]
+    return out
+
+
+# ===========================================================================
+# Traceback walk (choices tensor -> op stream)
+# ===========================================================================
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
+    """Walk the choice tensor backwards from each pair's end cell.
+
+    Emits per pair a reversed op stream (codes WOP_* | WOP_MFLAG) plus the
+    start diagonal. `ok`: [B] pairs with a clean END_REACHED result.
+    Returns (ops_rev [B, S_cap] uint8, n_ops [B], k_start [B], fallback [B]).
+
+    The M-preceded flag marks ops selected while in the M matrix -- exactly
+    the positions where the reference's backtrace inserts a match run
+    (reference: wavefront_backtrace.c:425-436).
+    """
+    B = choices.shape[1]
+    x = cfg.mismatch
+    o1e1 = cfg.gap_opening1 + cfg.gap_extension1
+    e1 = cfg.gap_extension1
+    o2e2 = cfg.gap_opening2 + cfg.gap_extension2
+    e2 = cfg.gap_extension2
+    is_linear = cfg.metric in (DistanceMetric.INDEL, DistanceMetric.EDIT,
+                               DistanceMetric.GAP_LINEAR)
+    if cfg.metric in (DistanceMetric.INDEL, DistanceMetric.EDIT):
+        lin_open = 1
+        lin_x = 1
+    else:
+        lin_open = cfg.gap_opening1
+        lin_x = cfg.mismatch
+
+    def step(carry, _):
+        s, k, comp, act, fallback = carry
+        kidx = jnp.clip(k - cfg.kmin, 0, cfg.W - 1)
+        sidx = jnp.clip(s, 0, cfg.S_cap - 1)
+        ch = choices[sidx, jnp.arange(B), kidx].astype(jnp.int32)
+        msrc = ch & 7
+        at_m = comp == M
+        stop_seed = act & at_m & ((s <= 0) | (msrc == MSRC_SEED))
+        bad = act & at_m & (s > 0) & (msrc == MSRC_NONE)
+        act2 = act & ~stop_seed
+        fallback = fallback | bad
+        act2 = act2 & ~bad
+
+        if is_linear:
+            # comp is always M for linear metrics
+            op = jnp.where(msrc == MSRC_X, WOP_X,
+                           jnp.where(msrc == MSRC_I1, WOP_I, WOP_D))
+            ds = jnp.where(msrc == MSRC_X, lin_x, lin_open)
+            dk = jnp.where(msrc == MSRC_I1, -1,
+                           jnp.where(msrc == MSRC_D1, 1, 0))
+            new_comp = comp
+            mflag = jnp.int32(WOP_MFLAG)
+        else:
+            i1_ext = (ch >> 3) & 1
+            d1_ext = (ch >> 4) & 1
+            i2_ext = (ch >> 5) & 1
+            d2_ext = (ch >> 6) & 1
+            # transitions per current comp
+            # at M: follow msrc (into I/D chains when *_ext, else stay M)
+            m_op = jnp.where(msrc == MSRC_X, WOP_X,
+                             jnp.where((msrc == MSRC_I1) | (msrc == MSRC_I2),
+                                       WOP_I, WOP_D))
+            m_ds = jnp.where(
+                msrc == MSRC_X, x,
+                jnp.where(msrc == MSRC_I1, jnp.where(i1_ext == 1, e1, o1e1),
+                          jnp.where(msrc == MSRC_D1, jnp.where(d1_ext == 1, e1, o1e1),
+                                    jnp.where(msrc == MSRC_I2, jnp.where(i2_ext == 1, e2, o2e2),
+                                              jnp.where(d2_ext == 1, e2, o2e2)))))
+            m_dk = jnp.where((msrc == MSRC_I1) | (msrc == MSRC_I2), -1,
+                             jnp.where((msrc == MSRC_D1) | (msrc == MSRC_D2), 1, 0))
+            m_next = jnp.where(
+                msrc == MSRC_X, M,
+                jnp.where(msrc == MSRC_I1, jnp.where(i1_ext == 1, I1, M),
+                          jnp.where(msrc == MSRC_D1, jnp.where(d1_ext == 1, D1, M),
+                                    jnp.where(msrc == MSRC_I2, jnp.where(i2_ext == 1, I2, M),
+                                              jnp.where(d2_ext == 1, D2, M)))))
+            # at I1/D1/I2/D2: ext continues the chain, open returns to M
+            c_op = jnp.where((comp == I1) | (comp == I2), WOP_I, WOP_D)
+            c_ext = jnp.where(comp == I1, i1_ext,
+                              jnp.where(comp == D1, d1_ext,
+                                        jnp.where(comp == I2, i2_ext, d2_ext)))
+            c_e = jnp.where((comp == I1) | (comp == D1), e1, e2)
+            c_oe = jnp.where((comp == I1) | (comp == D1), o1e1, o2e2)
+            c_ds = jnp.where(c_ext == 1, c_e, c_oe)
+            c_dk = jnp.where((comp == I1) | (comp == I2), -1, 1)
+            c_next = jnp.where(c_ext == 1, comp, M)
+
+            op = jnp.where(at_m, m_op, c_op)
+            ds = jnp.where(at_m, m_ds, c_ds)
+            dk = jnp.where(at_m, m_dk, c_dk)
+            new_comp = jnp.where(at_m, m_next, c_next)
+            mflag = jnp.where(at_m, WOP_MFLAG, 0)
+
+        emit = jnp.where(act2, (op | mflag).astype(jnp.uint8), jnp.uint8(0))
+        s2 = jnp.where(act2, s - ds, s)
+        k2 = jnp.where(act2, k + dk, k)
+        comp2 = jnp.where(act2, new_comp, comp)
+        # a chain pointing before score 0 is inconsistent -> fallback
+        bad2 = act2 & (s2 < 0)
+        fallback = fallback | bad2
+        act2 = act2 & ~bad2
+        return (s2, k2, comp2, act2, fallback), emit
+
+    init = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
+            jnp.zeros((B,), bool))
+    (s_f, k_f, comp_f, act_f, fallback), ops_rev = jax.lax.scan(
+        step, init, None, length=cfg.S_cap)
+    # still active after S_cap steps -> inconsistent
+    fallback = fallback | act_f
+    n_ops = jnp.sum((ops_rev != 0).astype(jnp.int32), axis=0)
+    return ops_rev.T, n_ops, k_f, fallback

@@ -1,0 +1,123 @@
+"""Cross-engine parity: batched JAX engine vs the scalar oracle.
+
+Every (status, score, cigar-op string) must agree exactly between the two
+independently-written engines across random workloads and configs.
+"""
+import random
+
+import pytest
+
+from pywfa_tpu.align import WavefrontAligner
+from pywfa_tpu.attributes import AlignerAttributes
+from pywfa_tpu.batch import align_pairs
+from pywfa_tpu.oracle import OracleAligner
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def mutate(rng, seq, sub_rate, indel_rate):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < indel_rate / 2:
+            continue
+        if r < indel_rate:
+            out.append(rng.choice("ACGT"))
+        if rng.random() < sub_rate:
+            out.append(rng.choice([b for b in "ACGT" if b != c]))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _compare(aligner_kwargs, pairs):
+    api = WavefrontAligner(backend="numpy", **aligner_kwargs)
+    attr = api._attributes()
+    bp = [p.encode() for p, _ in pairs]
+    bt = [t.encode() for _, t in pairs]
+    batch = align_pairs(attr, bp, bt)
+    orc = OracleAligner(attr)
+    for i, (p, t) in enumerate(pairs):
+        o = orc.align(bp[i], bt[i])
+        b = batch[i]
+        assert b.status == o.status, (i, p, t, b.status, o.status)
+        assert b.score == o.score, (i, p, t, b.score, o.score)
+        assert b.ops == o.ops, (i, p, t, b.ops, o.ops)
+
+
+def _random_pairs(seed, n, min_len=8, max_len=120, sub=0.08, ind=0.06):
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(n):
+        p = rand_seq(rng, rng.randint(min_len, max_len))
+        t = mutate(rng, p, sub, ind)
+        if not t:
+            t = "A"
+        pairs.append((p, t))
+    return pairs
+
+
+@pytest.mark.parametrize("distance", ["affine", "affine2p", "linear",
+                                      "levenshtein", "indel"])
+def test_end2end_random(distance):
+    pairs = _random_pairs(hash(distance) % 1000, 16)
+    _compare(dict(distance=distance, span="end-to-end"), pairs)
+
+
+@pytest.mark.parametrize("distance", ["affine", "affine2p"])
+def test_endsfree_default_random(distance):
+    # pywfa's default span: ends-free with all frees 0
+    pairs = _random_pairs(42, 16)
+    _compare(dict(distance=distance, span="ends-free"), pairs)
+
+
+def test_endsfree_with_frees():
+    pairs = _random_pairs(7, 12, min_len=30, max_len=90)
+    _compare(dict(span="ends-free", pattern_begin_free=10,
+                  pattern_end_free=10, text_begin_free=10,
+                  text_end_free=10), pairs)
+
+
+def test_negative_match_score():
+    pairs = _random_pairs(11, 10, min_len=10, max_len=60)
+    _compare(dict(match=-2, span="end-to-end"), pairs)
+    _compare(dict(match=-1, span="ends-free", text_begin_free=5,
+                  text_end_free=5, pattern_begin_free=5,
+                  pattern_end_free=5), pairs)
+
+
+def test_score_only():
+    pairs = _random_pairs(13, 10)
+    _compare(dict(scope="score", span="end-to-end"), pairs)
+
+
+@pytest.mark.parametrize("heuristic", ["adaptive", "X-drop"])
+def test_heuristics_random(heuristic):
+    pairs = _random_pairs(17, 10, min_len=40, max_len=150, sub=0.15, ind=0.1)
+    _compare(dict(heuristic=heuristic, span="end-to-end"), pairs)
+
+
+def test_divergent_pairs():
+    rng = random.Random(23)
+    pairs = [(rand_seq(rng, rng.randint(10, 60)),
+              rand_seq(rng, rng.randint(10, 60))) for _ in range(12)]
+    _compare(dict(span="end-to-end"), pairs)
+    _compare(dict(distance="affine2p", span="end-to-end"), pairs)
+
+
+def test_extreme_length_ratio():
+    rng = random.Random(29)
+    pairs = [(rand_seq(rng, 100), rand_seq(rng, 9)),
+             (rand_seq(rng, 9), rand_seq(rng, 100)),
+             ("A", rand_seq(rng, 50)),
+             (rand_seq(rng, 50), "A")]
+    _compare(dict(span="end-to-end"), pairs)
+    _compare(dict(span="ends-free"), pairs)
+
+
+def test_max_steps_batch():
+    rng = random.Random(31)
+    pairs = [(rand_seq(rng, 80), rand_seq(rng, 80)) for _ in range(4)]
+    _compare(dict(span="end-to-end", max_steps=10), pairs)

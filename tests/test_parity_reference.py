@@ -21,13 +21,7 @@ from .fasta import read_fasta
 
 REF_TESTS = "/root/reference/pywfa/tests"
 
-BACKENDS = ["numpy"]
-try:
-    from pywfa_tpu import engine_adapter
-    if engine_adapter.available():
-        BACKENDS.append("jax")
-except Exception:
-    pass
+BACKENDS = ["numpy", "jax"]
 
 
 @pytest.fixture(params=BACKENDS)
