@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: batched gap-affine alignment with full CIGAR on one chip.
+
+Headline metric (BASELINE.md): alignment cell-updates/s at 150bp, batch=4096,
+affine penalties, full-CIGAR scope. "Cell updates" uses the standard
+GCUPS-equivalent convention: plen * tlen DP cells per pair (the work a
+classic DP aligner would do for the same workload).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CELLS_PER_S = 10e6  # BASELINE.md north-star: >= 10M cell-updates/s
+
+B = int(os.environ.get("BENCH_B", 4096))
+L = int(os.environ.get("BENCH_L", 150))
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
+DIVERGENCE = float(os.environ.get("BENCH_DIV", 0.02))
+
+
+def make_pairs(rng, n, length, divergence):
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pats = alphabet[rng.integers(0, 4, size=(n, length))]
+    txts = pats.copy()
+    nmut = max(1, int(length * divergence))
+    for i in range(n):
+        idx = rng.choice(length, size=nmut, replace=False)
+        txts[i, idx] = alphabet[(rng.integers(1, 4, size=nmut)
+                                 + np.searchsorted(alphabet, txts[i, idx])) % 4]
+    return ([pats[i].tobytes() for i in range(n)],
+            [txts[i].tobytes() for i in range(n)])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+    from pywfa_tpu.ops import engine as E
+
+    rng = np.random.default_rng(0)
+    pats, txts = make_pairs(rng, B, L, DIVERGENCE)
+
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    # sized bucket: bounded band + score cap with escalation unnecessary at
+    # this divergence (2% of 150bp -> scores ~< 40)
+    W = int(os.environ.get("BENCH_W", 128))
+    S_cap = int(os.environ.get("BENCH_SCAP", 96))
+    cfg = E.full_config(attr, L, L, W=W, S_cap=S_cap)
+    C = cfg.extend_chunk
+
+    pat = jnp.asarray(encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.full((B,), L, dtype=jnp.int32)
+    tlen = jnp.full((B,), L, dtype=jnp.int32)
+    frees = jnp.zeros((B, 4), dtype=jnp.int32)
+    max_steps = jnp.int32(2**31 - 1)
+
+    def run():
+        out = E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
+        ok = out["status"] == E.ST_END_REACHED
+        ops_rev, n_ops, k_start, fb = E.traceback_walk(
+            cfg, out["choices"], out["final_s"], out["end_k"], ok)
+        return out, ops_rev, n_ops, k_start, fb, ok
+
+    # warm-up / compile
+    out, ops_rev, n_ops, k_start, fb, ok = run()
+    jax.block_until_ready(ops_rev)
+    n_ok = int(np.asarray(ok).sum())
+    assert n_ok == B, f"only {n_ok}/{B} pairs completed in bucket"
+    assert not np.asarray(fb).any(), "traceback fallback triggered"
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out, ops_rev, n_ops, k_start, fb, ok = run()
+    jax.block_until_ready(ops_rev)
+    dt = (time.time() - t0) / ITERS
+
+    cells = B * L * L
+    cells_per_s = cells / dt
+    result = {
+        "metric": "alignment_cell_updates_per_s",
+        "value": round(cells_per_s, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S, 3),
+    }
+    print(json.dumps(result))
+    print(f"# batch={B} len={L} iters={ITERS} time/batch={dt*1000:.1f}ms "
+          f"alignments/s={B/dt:.0f} device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
