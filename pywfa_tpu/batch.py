@@ -27,8 +27,12 @@ from .constants import (
 from .oracle import OracleAligner, OracleResult
 from .ops import engine as E
 
-PATTERN_SENTINEL = 1
-TEXT_SENTINEL = 2
+PATTERN_SENTINEL = E.PATTERN_PAD
+TEXT_SENTINEL = E.TEXT_PAD
+
+# cap on the per-diagonal LCP table (B * W * Lt int16 + int8 scratch); above
+# this the engine falls back to chunked-gather extension
+LCP_TABLE_BYTES_CAP = 3 * 2**30
 
 
 def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int) -> np.ndarray:
@@ -164,6 +168,9 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     cfg = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
                         wildcard=(wildcard if wildcard is not None else -1),
                         W=W, S_cap=S_cap, record_choices=scope_full)
+    lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
+    if lcp_bytes > LCP_TABLE_BYTES_CAP:
+        cfg = dataclasses.replace(cfg, use_lcp_table=False)
     C = cfg.extend_chunk
 
     pat = jnp.asarray(encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL))

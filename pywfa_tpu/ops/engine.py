@@ -62,6 +62,12 @@ MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1, MSRC_I2, MSRC_D2, MSRC_SEED = 0, 1, 2, 3, 4
 WOP_END, WOP_X, WOP_I, WOP_D = 0, 1, 2, 3
 WOP_MFLAG = 4  # bit: op preceded by a (greedy) match run
 
+# sequence padding sentinels: distinct values so padded tails never match
+# (the tensor analog of WFA2-lib's '!'/'?' EOS bytes,
+# wavefront_sequences.c:37-39)
+PATTERN_PAD = 1
+TEXT_PAD = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -95,6 +101,11 @@ class EngineConfig:
     record_choices: bool = True
     extend_chunk: int = 16
     wildcard: int = -1    # >= 0: wildcard byte code
+    # Precompute per-diagonal LCP run lengths (memory O(B*W*Lt), turns the
+    # extension into one tiny gather per step -- the TPU answer to the
+    # reference's per-diagonal scalar LCP loop). Disable for long reads
+    # where the table would not fit.
+    use_lcp_table: bool = True
 
     @property
     def n_comp(self) -> int:
@@ -299,6 +310,56 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
     active0 = band_mask & (off > NULL_THRESHOLD)
     off, _ = jax.lax.while_loop(cond, body, (off, active0))
     return off
+
+
+def _build_lcp_table(cfg: EngineConfig, pat, txt):
+    """Per-diagonal LCP run-length table R[b, w, h].
+
+    R[b, w, h] = number of consecutive matching characters along diagonal
+    k_w = kmin + w starting at text position h (i.e. comparing
+    pattern[h-k_w + j] vs text[h + j]). Because both sequences are padded
+    with distinct sentinels, runs stop at sequence ends automatically.
+
+    Built once per batch with static shifts and a reverse cummin -- no
+    gathers. Extension then reduces to `off += R[b, w, off]` (one gather of
+    B*W elements per score step) instead of the chunked compare loop.
+    """
+    B = pat.shape[0]
+    W = cfg.W
+    Ltp = txt.shape[1]
+    Lpp = pat.shape[1]
+    # pattern index for (w, h) is h - k_w; pad so all needed indices exist:
+    # h - k ranges over [-(kmin + W - 1), Ltp - 1 - kmin]
+    lead = max(0, cfg.kmin + W - 1)
+    tail = max(0, Ltp - Lpp - cfg.kmin)
+    patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
+                     constant_values=np.int8(PATTERN_PAD))
+    # patk[b, w, h] = pattern[b, h - k_w]  (static slice per diagonal)
+    slices = []
+    for w in range(W):
+        k_w = cfg.kmin + w
+        start = lead - k_w
+        slices.append(jax.lax.dynamic_slice_in_dim(patpad, start, Ltp, axis=1))
+    patk = jnp.stack(slices, axis=1)  # [B, W, Ltp]
+    eq = patk == txt[:, None, :]
+    if cfg.wildcard >= 0:
+        wc = jnp.int8(cfg.wildcard)
+        eq = eq | (patk == wc) | (txt[:, None, :] == wc)
+    hidx = jnp.arange(Ltp, dtype=jnp.int32)[None, None, :]
+    big = jnp.int32(Ltp)
+    mism = jnp.where(eq, big, hidx)
+    nm = jnp.flip(jax.lax.cummin(jnp.flip(mism, axis=-1), axis=2), axis=-1)
+    run = jnp.minimum(nm, big) - hidx
+    return run.astype(jnp.int16)
+
+
+def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
+    """Extension via the precomputed LCP table: one gather per step."""
+    Ltp = lcp.shape[2]
+    valid = band_mask & (off >= 0) & (off <= tlen[:, None])
+    idx = jnp.clip(off, 0, Ltp - 1)
+    run = jnp.take_along_axis(lcp, idx[:, :, None], axis=2)[:, :, 0]
+    return jnp.where(valid, off + run.astype(jnp.int32), off)
 
 
 # ===========================================================================
@@ -905,6 +966,7 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
     B = pat.shape[0]
     state = _init_state(cfg, B, plen, tlen, frees, max_steps)
     end2end = cfg.span == AlignmentSpan.END_TO_END
+    lcp = _build_lcp_table(cfg, pat, txt) if cfg.use_lcp_table else None
 
     def cond(state):
         return (~state["done"]).any() & (state["s"] < cfg.S_cap - 1)
@@ -928,7 +990,10 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
 
         # --- extension (only pairs with an existing M wavefront) ---
         band = _band_mask(cfg, lo, hi) & (active & exists)[:, None]
-        off = _extend_band(cfg, pat, txt, plen, tlen, off, band)
+        if cfg.use_lcp_table:
+            off = _extend_band_lcp(cfg, lcp, tlen, off, band)
+        else:
+            off = _extend_band(cfg, pat, txt, plen, tlen, off, band)
         state["offsets"] = state["offsets"].at[M, slot].set(off)
 
         # --- termination ---
