@@ -103,6 +103,50 @@ def _match_fill(pattern: bytes, text: bytes, ops_rev: np.ndarray, n_ops: int,
     return "".join(parts)
 
 
+_OP_CHAR_LUT = np.full(256, ord("?"), dtype=np.uint8)
+for _code, _ch in ((0, "M"), (1, "I"), (2, "D"), (8, "X")):
+    _OP_CHAR_LUT[_code] = ord(_ch)
+
+
+def _native_fill(cfg, clean_idx, patterns, texts, plens, tlens, end_k,
+                 end_off, ops_rev, n_ops, k_start, wildcard) -> dict:
+    """Batched C++ match-fill for the clean pairs; {} if lib unavailable."""
+    from . import native
+    if native.lib() is None:
+        return {}
+    idx = np.asarray(clean_idx)
+    n = len(idx)
+    maxLp = int(plens[idx].max())
+    maxLt = int(tlens[idx].max())
+    pat = np.zeros((n, maxLp + 1), dtype=np.uint8)
+    txt = np.zeros((n, maxLt + 1), dtype=np.uint8)
+    for i, b in enumerate(idx):
+        pat[i, : len(patterns[b])] = np.frombuffer(patterns[b], np.uint8)
+        txt[i, : len(texts[b])] = np.frombuffer(texts[b], np.uint8)
+    ev = (end_off[idx] - end_k[idx]).astype(np.int64)
+    eh = end_off[idx].astype(np.int64)
+    trail_i = (tlens[idx] - eh).astype(np.int64)
+    trail_d = (plens[idx] - ev).astype(np.int64)
+    res = native.match_fill_batch(
+        np.ascontiguousarray(ops_rev[idx]).view(np.uint8),
+        n_ops[idx].astype(np.int64),
+        k_start[idx].astype(np.int64),
+        pat, plens[idx].astype(np.int64),
+        txt, tlens[idx].astype(np.int64),
+        trail_i, trail_d,
+        int(wildcard) if wildcard is not None else -1)
+    if res is None:
+        return {}
+    out, out_lens = res
+    result = {}
+    for i, b in enumerate(idx):
+        ln = int(out_lens[i])
+        if ln < 0:
+            continue  # overflow -> python fallback for this pair
+        result[int(b)] = _OP_CHAR_LUT[out[i, :ln]].tobytes().decode("ascii")
+    return result
+
+
 @dataclasses.dataclass
 class BatchResult:
     """Per-pair outcome of a batched alignment."""
@@ -217,6 +261,17 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     oracle_idx: List[int] = []
     escalate_idx: List[int] = []
     end_off = np.asarray(out["end_off"])
+
+    # clean full-CIGAR pairs: batched native match-fill when available
+    native_ops: dict = {}
+    if scope_full:
+        clean_idx = [b for b in range(B)
+                     if status[b] == E.ST_END_REACHED and not fb[b]]
+        if clean_idx:
+            native_ops = _native_fill(cfg, clean_idx, patterns, texts, plens,
+                                      tlens, end_k, end_off, ops_rev, n_ops,
+                                      k_start, wildcard)
+
     for b in range(B):
         st = int(status[b])
         if st == E.ST_END_REACHED and (not scope_full):
@@ -226,18 +281,21 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
                                      int(plens[b]), int(tlens[b]), s, False)
         elif st == E.ST_END_REACHED and not fb[b]:
             s = int(final_s[b])
-            ops = _match_fill(patterns[b], texts[b], ops_rev[b], int(n_ops[b]),
-                              int(k_start[b]), int(plens[b]), int(tlens[b]),
-                              wildcard)
             ek = int(end_k[b])
             eoff = int(end_off[b])
             ev, eh = eoff - ek, eoff
-            # ends-free: trailing free ops, I-block then D-block
-            # (reference: backtrace.c:347-356 writes D's rightmost)
-            if eh < int(tlens[b]):
-                ops = ops + "I" * (int(tlens[b]) - eh)
-            if ev < int(plens[b]):
-                ops = ops + "D" * (int(plens[b]) - ev)
+            if b in native_ops:
+                ops = native_ops[b]
+            else:
+                ops = _match_fill(patterns[b], texts[b], ops_rev[b],
+                                  int(n_ops[b]), int(k_start[b]),
+                                  int(plens[b]), int(tlens[b]), wildcard)
+                # ends-free: trailing free ops, I-block then D-block
+                # (reference: backtrace.c:347-356 writes D's rightmost)
+                if eh < int(tlens[b]):
+                    ops = ops + "I" * (int(tlens[b]) - eh)
+                if ev < int(plens[b]):
+                    ops = ops + "D" * (int(plens[b]) - ev)
             sc = classic_score(pen, ev, eh, s)
             results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev, eh,
                                      s, False)

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native post-processing library.
+
+Auto-builds libwfa_native.so with the in-tree Makefile on first use; all
+callers must handle `lib() is None` (pure-Python fallback paths exist).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libwfa_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _HERE, "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        L = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    L.wfa_match_fill_batch.argtypes = [
+        c_u8p, ctypes.c_int64, c_i64p, c_i64p,
+        c_u8p, ctypes.c_int64, c_i64p,
+        c_u8p, ctypes.c_int64, c_i64p,
+        c_i64p, c_i64p,
+        ctypes.c_int32, ctypes.c_int64,
+        c_u8p, ctypes.c_int64, c_i64p,
+    ]
+    L.wfa_match_fill_batch.restype = None
+    L.wfa_rle.argtypes = [c_u8p, ctypes.c_int64, c_i32p, c_i32p,
+                          ctypes.c_int64]
+    L.wfa_rle.restype = ctypes.c_int64
+    _lib = L
+    return _lib
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def match_fill_batch(ops_rev: np.ndarray, n_ops: np.ndarray,
+                     k_start: np.ndarray, pat: np.ndarray, plens: np.ndarray,
+                     txt: np.ndarray, tlens: np.ndarray,
+                     trail_i: np.ndarray, trail_d: np.ndarray,
+                     wildcard: int) -> Optional[tuple]:
+    """Batched match-fill; returns (ops_u8 [B, Lmax], lens [B]) or None.
+
+    All array args must be C-contiguous with the documented dtypes:
+    ops_rev/pat/txt uint8 2-D; the rest int64 1-D.
+    """
+    L = lib()
+    if L is None:
+        return None
+    B = ops_rev.shape[0]
+    out_stride = int(plens.max() + tlens.max() + 2) if B else 2
+    out = np.empty((B, out_stride), dtype=np.uint8)
+    out_lens = np.empty(B, dtype=np.int64)
+    u8, i64 = ctypes.c_uint8, ctypes.c_int64
+    L.wfa_match_fill_batch(
+        _ptr(ops_rev, u8), ops_rev.shape[1],
+        _ptr(n_ops, i64), _ptr(k_start, i64),
+        _ptr(pat, u8), pat.shape[1], _ptr(plens, i64),
+        _ptr(txt, u8), txt.shape[1], _ptr(tlens, i64),
+        _ptr(trail_i, i64), _ptr(trail_d, i64),
+        wildcard, B,
+        _ptr(out, u8), out_stride, _ptr(out_lens, i64))
+    return out, out_lens
+
+
+def rle(ops: np.ndarray):
+    """RLE one uint8 op row -> (codes int32, lens int32) or None."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(ops)
+    cap = n + 1
+    out_ops = np.empty(cap, dtype=np.int32)
+    out_lens = np.empty(cap, dtype=np.int32)
+    m = L.wfa_rle(_ptr(ops, ctypes.c_uint8), n,
+                  _ptr(out_ops, ctypes.c_int32),
+                  _ptr(out_lens, ctypes.c_int32), cap)
+    if m < 0:
+        return None
+    return out_ops[:m], out_lens[:m]

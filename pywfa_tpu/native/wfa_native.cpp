@@ -1,0 +1,167 @@
+// Native host-side post-processing for pywfa_tpu.
+//
+// The TPU engine emits, per pair, a reversed stream of {X,I,D} walk ops plus
+// a start diagonal; expanding that into the final per-base CIGAR requires a
+// greedy match-fill against the sequences (the host half of the traceback,
+// analogous to WFA2-lib's pcigar unpack re-deriving matches by comparing
+// sequences). At batch 4096 this is the host hot loop, so it lives in C++
+// with a C ABI consumed via ctypes. Run-length encoding of op strings into
+// (op, len) CIGAR tuples is here too.
+//
+// Build: make -C pywfa_tpu/native  (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// walk op stream encoding (must match pywfa_tpu/ops/engine.py WOP_*)
+constexpr uint8_t WOP_X = 1;
+constexpr uint8_t WOP_I = 2;
+constexpr uint8_t WOP_D = 3;
+constexpr uint8_t WOP_MFLAG = 4;
+
+// numeric CIGAR op codes (pysam convention, align.pyx codes LUT)
+constexpr uint8_t OP_M = 0;
+constexpr uint8_t OP_I = 1;
+constexpr uint8_t OP_D = 2;
+constexpr uint8_t OP_X = 8;
+
+inline bool chars_match(uint8_t a, uint8_t b, int wildcard) {
+    if (a == b) return true;
+    if (wildcard >= 0 &&
+        (a == static_cast<uint8_t>(wildcard) ||
+         b == static_cast<uint8_t>(wildcard)))
+        return true;
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Expand one pair's reversed walk-op stream into per-base numeric ops.
+//
+//   ops_rev:  [stride] uint8, first n_ops entries are the reversed stream
+//   out:      caller buffer of capacity out_cap (>= plen + tlen)
+//
+// Returns the number of per-base ops written, or -1 on overflow/error.
+int64_t wfa_match_fill(
+    const uint8_t* ops_rev, int64_t n_ops, int64_t k_start,
+    const uint8_t* pattern, int64_t plen,
+    const uint8_t* text, int64_t tlen,
+    int32_t wildcard,
+    int64_t trail_i, int64_t trail_d,  // trailing free I/D counts
+    uint8_t* out, int64_t out_cap) {
+    int64_t v, h;
+    if (k_start >= 0) {
+        v = 0;
+        h = k_start;
+    } else {
+        v = -k_start;
+        h = 0;
+    }
+    int64_t n = 0;
+    // leading free indels (reference: wavefront_backtrace.c:514-516)
+    for (int64_t i = 0; i < h && n < out_cap; ++i) out[n++] = OP_I;
+    for (int64_t i = 0; i < v && n < out_cap; ++i) out[n++] = OP_D;
+
+    auto extend = [&]() {
+        while (v < plen && h < tlen &&
+               chars_match(pattern[v], text[h], wildcard)) {
+            if (n >= out_cap) return false;
+            out[n++] = OP_M;
+            ++v;
+            ++h;
+        }
+        return true;
+    };
+
+    if (!extend()) return -1;
+    for (int64_t i = n_ops - 1; i >= 0; --i) {
+        const uint8_t tok = ops_rev[i];
+        const uint8_t op = tok & 3;
+        if (n >= out_cap) return -1;
+        switch (op) {
+            case WOP_X:
+                out[n++] = OP_X;
+                ++v;
+                ++h;
+                break;
+            case WOP_I:
+                out[n++] = OP_I;
+                ++h;
+                break;
+            case WOP_D:
+                out[n++] = OP_D;
+                ++v;
+                break;
+            default:
+                return -1;
+        }
+        if (tok & WOP_MFLAG) {
+            if (!extend()) return -1;
+        }
+    }
+    // trailing free indels, I-block then D-block
+    for (int64_t i = 0; i < trail_i && n < out_cap; ++i) out[n++] = OP_I;
+    for (int64_t i = 0; i < trail_d && n < out_cap; ++i) out[n++] = OP_D;
+    return n;
+}
+
+// Batched variant over B pairs with flat, padded arrays.
+//
+//   ops_rev:   [B, ops_stride] uint8
+//   pat/txt:   [B, pat_stride] / [B, txt_stride] uint8 (row-major, padded)
+//   out:       [B, out_stride] uint8; out_lens: [B] int64
+//
+// Pairs with n_ops[b] < 0 are skipped (out_lens[b] = -1).
+void wfa_match_fill_batch(
+    const uint8_t* ops_rev, int64_t ops_stride,
+    const int64_t* n_ops, const int64_t* k_start,
+    const uint8_t* pat, int64_t pat_stride, const int64_t* plens,
+    const uint8_t* txt, int64_t txt_stride, const int64_t* tlens,
+    const int64_t* trail_i, const int64_t* trail_d,
+    int32_t wildcard, int64_t B,
+    uint8_t* out, int64_t out_stride, int64_t* out_lens) {
+    for (int64_t b = 0; b < B; ++b) {
+        if (n_ops[b] < 0) {
+            out_lens[b] = -1;
+            continue;
+        }
+        out_lens[b] = wfa_match_fill(
+            ops_rev + b * ops_stride, n_ops[b], k_start[b],
+            pat + b * pat_stride, plens[b],
+            txt + b * txt_stride, tlens[b],
+            wildcard, trail_i[b], trail_d[b],
+            out + b * out_stride, out_stride);
+    }
+}
+
+// Run-length encode a per-base numeric op row into (op, len) pairs.
+// Returns the number of tuples, or -1 if out capacity exceeded.
+int64_t wfa_rle(const uint8_t* ops, int64_t n,
+                int32_t* out_ops, int32_t* out_lens, int64_t out_cap) {
+    if (n <= 0) return 0;
+    int64_t m = 0;
+    uint8_t last = ops[0];
+    int32_t run = 1;
+    for (int64_t i = 1; i < n; ++i) {
+        if (ops[i] == last) {
+            ++run;
+        } else {
+            if (m >= out_cap) return -1;
+            out_ops[m] = last;
+            out_lens[m] = run;
+            ++m;
+            last = ops[i];
+            run = 1;
+        }
+    }
+    if (m >= out_cap) return -1;
+    out_ops[m] = last;
+    out_lens[m] = run;
+    return m + 1;
+}
+
+}  // extern "C"

@@ -328,38 +328,55 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     W = cfg.W
     Ltp = txt.shape[1]
     Lpp = pat.shape[1]
-    # pattern index for (w, h) is h - k_w; pad so all needed indices exist:
+    # pattern index for (w, h) is h - k_w + lead; pad so all indices exist:
     # h - k ranges over [-(kmin + W - 1), Ltp - 1 - kmin]
     lead = max(0, cfg.kmin + W - 1)
-    tail = max(0, Ltp - Lpp - cfg.kmin)
+    tail = max(0, Ltp - Lpp - cfg.kmin) + 1
     patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
                      constant_values=np.int8(PATTERN_PAD))
-    # patk[b, w, h] = pattern[b, h - k_w]  (static slice per diagonal)
-    slices = []
-    for w in range(W):
-        k_w = cfg.kmin + w
-        start = lead - k_w
-        slices.append(jax.lax.dynamic_slice_in_dim(patpad, start, Ltp, axis=1))
-    patk = jnp.stack(slices, axis=1)  # [B, W, Ltp]
+    N = patpad.shape[1]
+    # patk[b, w, h] = patpad[b, c0 + h - w] with c0 = lead - kmin >= W-1,
+    # built gather-free with the classic skew trick: tiling a length-N row W
+    # times and reshaping to (W, N-1) shifts each row by one.
+    c0 = lead - cfg.kmin
+    assert c0 >= W - 1 and c0 + Ltp <= N - 1, (c0, W, Ltp, N)
+    tiled = jnp.broadcast_to(patpad[:, None, :], (B, W, N)).reshape(B, W * N)
+    skew = tiled[:, : W * (N - 1)].reshape(B, W, N - 1)
+    patk = jax.lax.slice_in_dim(skew, c0, c0 + Ltp, axis=2)  # [B, W, Ltp]
     eq = patk == txt[:, None, :]
     if cfg.wildcard >= 0:
         wc = jnp.int8(cfg.wildcard)
         eq = eq | (patk == wc) | (txt[:, None, :] == wc)
-    hidx = jnp.arange(Ltp, dtype=jnp.int32)[None, None, :]
-    big = jnp.int32(Ltp)
+    dt = jnp.int16 if Ltp < 32000 else jnp.int32
+    hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
+    big = dt(Ltp)
     mism = jnp.where(eq, big, hidx)
-    nm = jnp.flip(jax.lax.cummin(jnp.flip(mism, axis=-1), axis=2), axis=-1)
+    nm = jax.lax.cummin(mism, axis=2, reverse=True)
     run = jnp.minimum(nm, big) - hidx
-    return run.astype(jnp.int16)
+    return run.astype(dt)
 
 
 def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
-    """Extension via the precomputed LCP table: one gather per step."""
+    """Extension via the precomputed LCP table.
+
+    The lookup R[b, w, off[b, w]] is expressed as a one-hot masked reduction
+    rather than a gather: TPU has no fast vector gather, but streaming the
+    table through the VPU runs at full HBM bandwidth.
+    """
     Ltp = lcp.shape[2]
+    dt = lcp.dtype
     valid = band_mask & (off >= 0) & (off <= tlen[:, None])
     idx = jnp.clip(off, 0, Ltp - 1)
-    run = jnp.take_along_axis(lcp, idx[:, :, None], axis=2)[:, :, 0]
-    return jnp.where(valid, off + run.astype(jnp.int32), off)
+    if jax.default_backend() == "cpu":
+        # CPU has fast gathers; the one-hot stream would dominate
+        run = jnp.take_along_axis(lcp, idx[:, :, None].astype(jnp.int32),
+                                  axis=2)[:, :, 0].astype(jnp.int32)
+    else:
+        hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
+        hit = hidx == idx[:, :, None].astype(dt)
+        run = jnp.sum(jnp.where(hit, lcp, dt.type(0)).astype(jnp.int32),
+                      axis=2)
+    return jnp.where(valid, off + run, off)
 
 
 # ===========================================================================
