@@ -189,6 +189,21 @@ class BatchWavefrontAligner:
                            W=self._W, S_cap=self._S_cap)
 
 
+# device-memory budget for the choices tensor (S_cap * B * W bytes); beyond
+# this full-CIGAR pairs fall back to the host oracle
+CHOICES_BYTES_CAP = 4 * 2**30
+
+
+def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
+    """Band width sufficient for any alignment of score <= S.
+
+    A diagonal shift costs at least one score unit, so |k| <= S plus the
+    target-diagonal offset; padded like full_config.
+    """
+    pad = attr.penalties.max_score_scope + 4
+    return 2 * (S + abs(maxLp - maxLt)) + 2 * pad + 8
+
+
 def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
                 texts: Sequence[bytes], wildcard: Optional[int] = None,
                 W: Optional[int] = None, S_cap: Optional[int] = None,
@@ -197,7 +212,10 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     """Align B pairs through the JAX engine; returns per-pair BatchResult.
 
     Lp/Lt: padded token-array lengths (>= max sequence length); pass bucketed
-    values to stabilize compile-cache hits across calls.
+    values to stabilize compile-cache hits across calls. When W/S_cap are not
+    given, an optimistic score cap is chosen and pairs exceeding it escalate
+    through a geometric ladder (compute is proportional to the *reached*
+    score, preserving WFA's O(ns+s^2) behavior on easy pairs).
     """
     import jax.numpy as jnp
 
@@ -209,9 +227,27 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     maxLt = int(tlens.max()) if B else 0
     attr0 = validate_alignment(attr, maxLp, maxLt)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
+    full_probe = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
+                               record_choices=scope_full)
+    if (W is None and S_cap is None and full_probe.S_cap > 192
+            and not _escalated):
+        # optimistic start; escalation handles the tail
+        S_cap = min(192, full_probe.S_cap)
+        W = min(full_probe.W,
+                E._round_up(_band_for_score(attr0, S_cap, maxLp, maxLt), 64))
     cfg = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
                         wildcard=(wildcard if wildcard is not None else -1),
                         W=W, S_cap=S_cap, record_choices=scope_full)
+    at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
+    if scope_full and cfg.S_cap * B * cfg.W > CHOICES_BYTES_CAP:
+        # cannot afford the traceback record on device -> host oracle
+        orc = OracleAligner(attr, wildcard)
+        out = []
+        for p, t in zip(patterns, texts):
+            r = orc.align(p, t)
+            out.append(BatchResult(r.status, r.score, r.ops, r.end_v,
+                                   r.end_h, r.wf_score, r.dropped))
+        return out
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
     if lcp_bytes > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
@@ -303,17 +339,25 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
             results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
                                      -int(max_steps), "", 0, 0,
                                      int(final_s[b]), False)
-        elif st in (E.ST_OVERFLOW_W, E.ST_OVERFLOW_S) and not _escalated:
+        elif st in (E.ST_OVERFLOW_W, E.ST_OVERFLOW_S) and not at_full_caps:
             escalate_idx.append(b)
         else:
             # unreachable/z-drop/partial or inconsistent walk -> exact oracle
             oracle_idx.append(b)
 
     if escalate_idx:
-        # full-size no-overflow rerun for the overflowing pairs
-        sub = align_pairs(attr, [patterns[b] for b in escalate_idx],
-                          [texts[b] for b in escalate_idx], wildcard,
-                          W=None, S_cap=None, _escalated=True)
+        # geometric escalation: 4x the score cap, band sized to match
+        sub_p = [patterns[b] for b in escalate_idx]
+        sub_t = [texts[b] for b in escalate_idx]
+        next_S = min(cfg.S_cap * 4, full_probe.S_cap)
+        if next_S >= full_probe.S_cap:
+            next_W, next_S = None, None  # terminal rung: worst-case caps
+        else:
+            next_W = min(full_probe.W, E._round_up(
+                _band_for_score(attr0, next_S, maxLp, maxLt), 64))
+        sub = align_pairs(attr, sub_p, sub_t, wildcard,
+                          W=next_W, S_cap=next_S, Lp=Lp, Lt=Lt,
+                          _escalated=True)
         for b, r in zip(escalate_idx, sub):
             results[b] = r
 

@@ -41,12 +41,11 @@ def align_single(attr: AlignerAttributes, pattern: bytes, text: bytes,
         return OracleAligner(attr, wildcard).align(pattern, text)
     Lp = _bucket(plen)
     Lt = _bucket(tlen)
-    # size band/score caps off the bucketed lengths for cache stability
     from .attributes import validate_alignment
     attr0 = validate_alignment(attr, plen, tlen)
-    cfg = full_config(attr0, Lp, Lt)
+    # caps escalate inside align_pairs; bucketed Lp/Lt keep shapes stable
     res = align_pairs(attr0, [pattern], [text], wildcard=wildcard,
-                      W=cfg.W, S_cap=cfg.S_cap, Lp=Lp, Lt=Lt)[0]
+                      Lp=Lp, Lt=Lt)[0]
     return OracleResult(status=res.status, score=res.score, ops=res.ops,
                         end_v=res.end_v, end_h=res.end_h,
                         wf_score=res.wf_score, dropped=res.dropped)

@@ -367,8 +367,11 @@ def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
     dt = lcp.dtype
     valid = band_mask & (off >= 0) & (off <= tlen[:, None])
     idx = jnp.clip(off, 0, Ltp - 1)
-    if jax.default_backend() == "cpu":
-        # CPU has fast gathers; the one-hot stream would dominate
+    # TPU has no fast vector gather, so for short sequences the lookup is a
+    # one-hot masked stream through the VPU (full HBM bandwidth). For long
+    # sequences that stream is O(W * Ltp) per step -- switch back to gather,
+    # whose cost is only O(W).
+    if jax.default_backend() == "cpu" or Ltp > 2048:
         run = jnp.take_along_axis(lcp, idx[:, :, None].astype(jnp.int32),
                                   axis=2)[:, :, 0].astype(jnp.int32)
     else:

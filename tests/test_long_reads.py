@@ -1,0 +1,60 @@
+"""Long-read path: escalation ladder + engine/oracle agreement at kb scale."""
+import random
+
+from pywfa_tpu.align import WavefrontAligner
+from pywfa_tpu.batch import align_pairs
+from pywfa_tpu.oracle import OracleAligner
+from pywfa_tpu.utils.check import check_alignment
+
+
+def _ont_pair(rng, n, sub=0.04, ind=0.03):
+    p = "".join(rng.choice("ACGT") for _ in range(n))
+    out = []
+    for c in p:
+        r = rng.random()
+        if r < ind / 2:
+            continue
+        if r < ind:
+            out.append(rng.choice("ACGT"))
+        out.append(c if rng.random() > sub else rng.choice("ACGT"))
+    return p, "".join(out)
+
+
+def test_3kb_escalation_matches_oracle():
+    rng = random.Random(41)
+    p, t = _ont_pair(rng, 3000)
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    res = align_pairs(attr, [p.encode()], [t.encode()])[0]
+    o = OracleAligner(attr).align(p.encode(), t.encode())
+    assert (res.status, res.score) == (o.status, o.score)
+    assert res.ops == o.ops
+    check_alignment(res.ops, p, t, attr.penalties,
+                    end_v=len(p), end_h=len(t))
+
+
+def test_1kb_heuristic_adaptive():
+    """BASELINE config #4: adaptive pruning on 1kb reads."""
+    rng = random.Random(43)
+    p, t = _ont_pair(rng, 1000)
+    a = WavefrontAligner(p, heuristic="adaptive", span="ends-free",
+                         backend="jax")
+    res = a(t)
+    b = WavefrontAligner(p, heuristic="adaptive", span="ends-free",
+                         backend="numpy")
+    res2 = b(t)
+    assert res.status == res2.status
+    assert res.score == res2.score
+    assert res.cigartuples == res2.cigartuples
+
+
+def test_escalation_ladder_runs():
+    """A divergent pair must climb rungs, not fail."""
+    rng = random.Random(47)
+    p = "".join(rng.choice("ACGT") for _ in range(600))
+    t = "".join(rng.choice("ACGT") for _ in range(600))  # unrelated
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    res = align_pairs(attr, [p.encode()], [t.encode()])[0]
+    o = OracleAligner(attr).align(p.encode(), t.encode())
+    assert (res.status, res.score, res.ops) == (o.status, o.score, o.ops)

@@ -1,0 +1,68 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pywfa_tpu.align import WavefrontAligner
+from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+from pywfa_tpu.ops import engine as E
+from pywfa_tpu.parallel import bucket_pairs, make_mesh, sharded_align_batch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                   reason="needs 8 virtual devices")
+
+
+def _mk_batch(B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    pats_a = alpha[rng.integers(0, 4, (B, L))]
+    txts_a = pats_a.copy()
+    for i in range(B):
+        idx = rng.choice(L, 2, replace=False)
+        txts_a[i, idx] = alpha[rng.integers(0, 4, 2)]
+    return ([pats_a[i].tobytes() for i in range(B)],
+            [txts_a[i].tobytes() for i in range(B)])
+
+
+@needs_devices
+def test_sharded_matches_single_device():
+    B, L = 32, 64
+    pats, txts = _mk_batch(B, L)
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    cfg = E.full_config(attr, L, L)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.full((B,), L, jnp.int32)
+    tlen = jnp.full((B,), L, jnp.int32)
+    frees = jnp.zeros((B, 4), jnp.int32)
+    ms = jnp.int32(2**31 - 1)
+
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+
+    mesh = make_mesh(jax.devices()[:8])
+    b1 = NamedSharding(mesh, P("data"))
+    b2 = NamedSharding(mesh, P("data", None))
+    fn = sharded_align_batch(cfg, mesh)
+    out = fn(jax.device_put(pat, b2), jax.device_put(txt, b2),
+             jax.device_put(plen, b1), jax.device_put(tlen, b1),
+             jax.device_put(frees, b2), ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
+
+
+def test_bucketing():
+    pats = [b"A" * 30, b"C" * 100, b"G" * 30, b"T" * 500]
+    txts = [b"A" * 40, b"C" * 90, b"G" * 25, b"T" * 480]
+    groups = bucket_pairs(pats, txts)
+    assert groups[(64, 64)] == [0, 2]
+    assert groups[(128, 128)] == [1]
+    assert groups[(512, 512)] == [3]
