@@ -13,7 +13,32 @@ Public pywfa-parity surface (reference: pywfa/__init__.py:1-6):
 TPU-native batched surface:
     pywfa_tpu.batch.BatchWavefrontAligner
 """
-from .align import (  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA executables across processes.
+
+    Engine configs are shape-bucketed and deterministic, so the compile cost
+    (which dominates cold-start latency on remote-compile TPU setups) is paid
+    once per machine.
+    """
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "PYWFA_TPU_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "pywfa_tpu",
+                          "xla_cache"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+from .align import (  # noqa: F401,E402
     AlignmentResult,
     WavefrontAligner,
     clip_cigartuples,

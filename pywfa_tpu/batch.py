@@ -45,10 +45,10 @@ def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int) -> np
     return out
 
 
-def _match_fill(pattern: bytes, text: bytes, ops_rev: np.ndarray, n_ops: int,
+def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
                 k_start: int, plen: int, tlen: int,
                 wildcard: Optional[int]) -> str:
-    """Expand a reversed walk-op stream into a full per-base op string.
+    """Expand a (sparse, forward-order) walk-op stream into per-base ops.
 
     Match runs are re-derived by greedy forward extension, which is exact for
     WFA paths because stored offsets are maximally extended (the same
@@ -85,8 +85,8 @@ def _match_fill(pattern: bytes, text: bytes, ops_rev: np.ndarray, n_ops: int,
             h += run
 
     extend()  # start-cell extension
-    for i in range(n_ops - 1, -1, -1):
-        tok = int(ops_rev[i])
+    for tok in np.asarray(ops_fwd[ops_fwd != 0]):
+        tok = int(tok)
         op = tok & 3
         if op == E.WOP_X:
             parts.append("X")
@@ -127,9 +127,11 @@ def _native_fill(cfg, clean_idx, patterns, texts, plens, tlens, end_k,
     eh = end_off[idx].astype(np.int64)
     trail_i = (tlens[idx] - eh).astype(np.int64)
     trail_d = (plens[idx] - ev).astype(np.int64)
+    # the op stream is zero-sparse over the full row; scan all entries
+    scan_lens = np.full(n, ops_rev.shape[1], dtype=np.int64)
     res = native.match_fill_batch(
         np.ascontiguousarray(ops_rev[idx]).view(np.uint8),
-        n_ops[idx].astype(np.int64),
+        scan_lens,
         k_start[idx].astype(np.int64),
         pat, plens[idx].astype(np.int64),
         txt, tlens[idx].astype(np.int64),

@@ -42,7 +42,7 @@ extern "C" {
 
 // Expand one pair's reversed walk-op stream into per-base numeric ops.
 //
-//   ops_rev:  [stride] uint8, first n_ops entries are the reversed stream
+//   ops_rev:  [stride] uint8 forward-order sparse op stream (scan n_ops entries)
 //   out:      caller buffer of capacity out_cap (>= plen + tlen)
 //
 // Returns the number of per-base ops written, or -1 on overflow/error.
@@ -78,8 +78,10 @@ int64_t wfa_match_fill(
     };
 
     if (!extend()) return -1;
-    for (int64_t i = n_ops - 1; i >= 0; --i) {
+    // ops stream is forward-order and zero-sparse (0 = no op at a level)
+    for (int64_t i = 0; i < n_ops; ++i) {
         const uint8_t tok = ops_rev[i];
+        if (tok == 0) continue;
         const uint8_t op = tok & 3;
         if (n >= out_cap) return -1;
         switch (op) {

@@ -1085,9 +1085,16 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
 def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     """Walk the choice tensor backwards from each pair's end cell.
 
-    Emits per pair a reversed op stream (codes WOP_* | WOP_MFLAG) plus the
-    start diagonal. `ok`: [B] pairs with a clean END_REACHED result.
+    Emits per pair a reversed, zero-sparse op stream (codes WOP_* |
+    WOP_MFLAG; 0 = no op at that level) plus the start diagonal.
+    `ok`: [B] pairs with a clean END_REACHED result.
     Returns (ops_rev [B, S_cap] uint8, n_ops [B], k_start [B], fallback [B]).
+
+    Rather than gathering choices[s[b], b, k[b]] per step, the scan runs
+    over *score levels* from high to low with the reversed choices tensor as
+    its streamed input: a pair acts only at its current score (scores
+    strictly decrease per op), and the cell read becomes a one-hot select
+    over the W lanes of the level's slice -- no gathers at all.
 
     The M-preceded flag marks ops selected while in the M matrix -- exactly
     the positions where the reference's backtrace inserts a match run
@@ -1108,16 +1115,21 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
         lin_open = cfg.gap_opening1
         lin_x = cfg.mismatch
 
-    def step(carry, _):
+    karr = jnp.arange(cfg.W, dtype=jnp.int32) + cfg.kmin
+
+    def step(carry, xs):
+        level, ch_slice = xs  # ch_slice: [B, W] uint8 at this score level
         s, k, comp, act, fallback = carry
-        kidx = jnp.clip(k - cfg.kmin, 0, cfg.W - 1)
-        sidx = jnp.clip(s, 0, cfg.S_cap - 1)
-        ch = choices[sidx, jnp.arange(B), kidx].astype(jnp.int32)
+        acting = act & (s == level)
+        # one-hot select of each acting pair's cell from the streamed slice
+        onehot = karr[None, :] == k[:, None]
+        ch = jnp.sum(jnp.where(onehot, ch_slice, jnp.uint8(0)),
+                     axis=1).astype(jnp.int32)
         msrc = ch & 7
         at_m = comp == M
-        stop_seed = act & at_m & ((s <= 0) | (msrc == MSRC_SEED))
-        bad = act & at_m & (s > 0) & (msrc == MSRC_NONE)
-        act2 = act & ~stop_seed
+        stop_seed = acting & at_m & ((s <= 0) | (msrc == MSRC_SEED))
+        bad = acting & at_m & (s > 0) & (msrc == MSRC_NONE)
+        act2 = acting & ~stop_seed
         fallback = fallback | bad
         act2 = act2 & ~bad
 
@@ -1171,21 +1183,25 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
             new_comp = jnp.where(at_m, m_next, c_next)
             mflag = jnp.where(at_m, WOP_MFLAG, 0)
 
-        emit = jnp.where(act2, (op | mflag).astype(jnp.uint8), jnp.uint8(0))
-        s2 = jnp.where(act2, s - ds, s)
-        k2 = jnp.where(act2, k + dk, k)
-        comp2 = jnp.where(act2, new_comp, comp)
+        act_new = act & ~(stop_seed | bad)
+        move = act_new & acting
+        emit = jnp.where(move, (op | mflag).astype(jnp.uint8), jnp.uint8(0))
+        s2 = jnp.where(move, s - ds, s)
+        k2 = jnp.where(move, k + dk, k)
+        comp2 = jnp.where(move, new_comp, comp)
         # a chain pointing before score 0 is inconsistent -> fallback
-        bad2 = act2 & (s2 < 0)
+        bad2 = move & (s2 < 0)
         fallback = fallback | bad2
-        act2 = act2 & ~bad2
-        return (s2, k2, comp2, act2, fallback), emit
+        act_new = act_new & ~bad2
+        return (s2, k2, comp2, act_new, fallback), emit
 
+    levels = jnp.arange(cfg.S_cap, dtype=jnp.int32)
     init = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
             jnp.zeros((B,), bool))
-    (s_f, k_f, comp_f, act_f, fallback), ops_rev = jax.lax.scan(
-        step, init, None, length=cfg.S_cap)
-    # still active after S_cap steps -> inconsistent
+    (s_f, k_f, comp_f, act_f, fallback), ops_fwd = jax.lax.scan(
+        step, init, (levels, choices), reverse=True)
+    # still active after all levels -> inconsistent chain
     fallback = fallback | act_f
-    n_ops = jnp.sum((ops_rev != 0).astype(jnp.int32), axis=0)
-    return ops_rev.T, n_ops, k_f, fallback
+    n_ops = jnp.sum((ops_fwd != 0).astype(jnp.int32), axis=0)
+    # [B, S_cap], sparse (0 = no op at that score level), FORWARD cigar order
+    return ops_fwd.T, n_ops, k_f, fallback
