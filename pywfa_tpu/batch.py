@@ -10,6 +10,7 @@ results are always complete and byte-faithful.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -149,6 +150,59 @@ def _native_fill(cfg, clean_idx, patterns, texts, plens, tlens, end_k,
     return result
 
 
+# batch-tile size of the fused Pallas kernel; batches are padded up to a
+# multiple with trivial pairs. The fused kernel (ops/pallas/fused_loop.py)
+# is byte-equivalent to the XLA engine but currently ~4x slower on v5e
+# (Mosaic codegen for the one-hot VMEM lookup); it stays opt-in via
+# PYWFA_FORCE_PALLAS until it wins.
+PALLAS_TB = 32
+USE_PALLAS = False
+
+
+def _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np):
+    """Dispatch to the fused Pallas loop kernel when eligible, else XLA."""
+    import jax
+    import jax.numpy as jnp
+    from .ops.pallas import fused_loop
+
+    B = pat.shape[0]
+    force = bool(os.environ.get("PYWFA_FORCE_PALLAS"))
+    eligible = (
+        (USE_PALLAS or force)
+        and fused_loop.supported(cfg)
+        and (jax.default_backend() != "cpu" or force)
+        # VMEM budget: lcp tile + ring + choices block
+        and PALLAS_TB * cfg.W * (cfg.Lt + cfg.extend_chunk) * 2 < 6 * 2**20
+        and cfg.S_cap * PALLAS_TB * cfg.W < 4 * 2**20
+        # WF0 ends-free seeds must fit the band
+        and int(np.max(frees_np[:, [0, 2]], initial=0)) < -cfg.kmin - 2
+    )
+    if not eligible:
+        return E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
+    TB = PALLAS_TB
+    padB = (-B) % TB
+    if padB:
+        def padrow(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((padB,) + a.shape[1:], fill, a.dtype)], axis=0)
+        pat = padrow(pat, E.PATTERN_PAD)
+        txt = padrow(txt, E.TEXT_PAD)
+        plen = padrow(plen, 1)
+        tlen = padrow(tlen, 1)
+        frees = padrow(frees, 0)
+        # give pad pairs a trivially-alignable base
+        pat = pat.at[B:, 0].set(65)
+        txt = txt.at[B:, 0].set(65)
+    lcp = E.build_lcp_table(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, lcp, plen, tlen, frees,
+                                        max_steps)
+    if padB:
+        out = {k: (v[:, :B] if k == "choices" else
+                   (v[:B] if getattr(v, "ndim", 0) >= 1 else v))
+               for k, v in out.items()}
+    return out
+
+
 @dataclasses.dataclass
 class BatchResult:
     """Per-pair outcome of a batched alignment."""
@@ -276,7 +330,7 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     frees = jnp.asarray(frees_np)
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
-    out = E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
+    out = _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np)
     status = np.asarray(out["status"])
     final_s = np.asarray(out["final_s"])
     end_k = np.asarray(out["end_k"])

@@ -356,6 +356,12 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     return run.astype(dt)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def build_lcp_table(cfg: EngineConfig, pat, txt):
+    """Jitted standalone LCP-table builder (used by the Pallas path)."""
+    return _build_lcp_table(cfg, pat, txt)
+
+
 def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
     """Extension via the precomputed LCP table.
 

@@ -1,0 +1,61 @@
+"""Fused Pallas loop kernel vs the XLA engine (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pywfa_tpu.align import WavefrontAligner
+from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+from pywfa_tpu.ops import engine as E
+from pywfa_tpu.ops.pallas import fused_loop
+
+
+def _run_both(pairs, span, frees_row=(0, 0, 0, 0)):
+    B = len(pairs)
+    maxLp = max(len(p) for p, _ in pairs)
+    maxLt = max(len(t) for _, t in pairs)
+    api = WavefrontAligner(backend="numpy", span=span)
+    attr = api._attributes()
+    cfg = E.full_config(attr, maxLp, maxLt)
+    assert fused_loop.supported(cfg)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.tile(jnp.asarray([frees_row], dtype=jnp.int32), (B, 1))
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    lcp = E.build_lcp_table(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, B, lcp, plen, tlen, frees, ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
+
+
+def test_end2end_matches_xla():
+    pairs = [
+        ("TCTTTACTCGCGCGTTGGAGAAATACAATAGT",
+         "TCTATACTGCGCGTTTGGAGAAATAAAATAGT"),
+        ("AATTAATTTAAGTCTAGGCTACTTTCGGTACTTTGTTCTT",
+         "AATTTAAGTCTAGGCTACTTTCGGTACTTTCTT"),
+        ("ACGTACGT", "ACGTACGT"),
+        ("AAAACCCC", "TTTTGGGG"),
+    ]
+    _run_both(pairs, "end-to-end")
+
+
+def test_endsfree_matches_xla():
+    pairs = [
+        ("AAAAACCTTTTTAAAAAA", "GGCCAAAAACCAAAAAA"),
+        ("GGGGAAAAACC", "AAAAACCGGGG"),
+        ("AAAAACC", "CCCCCAAAAACCTTTTT"),
+        ("ACGT", "ACGT"),
+    ]
+    _run_both(pairs, "ends-free")
+    _run_both(pairs, "ends-free", frees_row=(2, 2, 2, 2))
