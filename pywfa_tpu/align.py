@@ -306,6 +306,8 @@ class WavefrontAligner:
                  wildcard=None,
                  max_steps=0,
                  backend="auto",
+                 verbose=0,
+                 check_alignment=False,
                  ):
         self.pattern_len = 0
         self.text_len = 0
@@ -313,6 +315,12 @@ class WavefrontAligner:
         self._text = None
         self._bpattern = b""
         self._backend = backend
+        # observability (reference: alignment_system_t.verbose /
+        # check_alignment_correct, wavefront_attributes.h:86-93)
+        self._verbose = verbose
+        self._check_alignment = check_alignment
+        from .utils.profiler import Timer
+        self.timer = Timer()
         if pattern:
             self._pattern = pattern.upper()
             self._bpattern = self._pattern.encode("ascii")
@@ -448,11 +456,29 @@ class WavefrontAligner:
         wc = None
         if self._wildcard:
             wc = self._bwildcard
+        self.timer.start()
         result = self._run_engine(self._bpattern, t, wc)
+        elapsed = self.timer.stop()
         self._status = result.status
         self._cigar_ops = result.ops
         self._score = result.score
         self._dropped = result.dropped
+        if self._check_alignment and result.ops and result.status == 0:
+            # analog of system.check_alignment_correct
+            # (reference: wavefront_debug.c:230-241)
+            from .utils.check import check_alignment
+            check_alignment(result.ops, self._pattern, text.upper(),
+                            self._penalties,
+                            end_v=result.end_v, end_h=result.end_h)
+        if self._verbose >= 1:
+            from .utils.profiler import report_alignment
+            report_alignment(
+                None, score=self._score, status=self._status,
+                plen=self.pattern_len, tlen=self.text_len,
+                cigar=self.cigarstring, seconds=elapsed,
+                pattern=(self._pattern if self._verbose >= 2 else ""),
+                text=(text if self._verbose >= 2 else ""),
+                config=f"({self._distance},{self.span},{self.scope})")
         return self._score
 
     def _run_engine(self, bpattern: bytes, btext: bytes, wildcard):

@@ -244,6 +244,18 @@ class BatchWavefrontAligner:
         return align_pairs(attr, bp, bt, wildcard=wc,
                            W=self._W, S_cap=self._S_cap)
 
+    def align_packed2bits(self, packed_patterns, pattern_lengths,
+                          packed_texts, text_lengths) -> List[BatchResult]:
+        """Align 2-bit-packed DNA pairs (analog of the reference's
+        `wavefront_align_packed2bits`, wavefront_align.c:150-241)."""
+        from .utils.encode import unpack2bits
+        bp = [unpack2bits(p, n) for p, n in
+              zip(packed_patterns, pattern_lengths)]
+        bt = [unpack2bits(t, n) for t, n in
+              zip(packed_texts, text_lengths)]
+        attr = self._api._attributes()
+        return align_pairs(attr, bp, bt, W=self._W, S_cap=self._S_cap)
+
 
 # device-memory budget for the choices tensor (S_cap * B * W bytes); beyond
 # this full-CIGAR pairs fall back to the host oracle

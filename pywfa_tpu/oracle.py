@@ -100,11 +100,15 @@ class OracleAligner:
     def __init__(self, attr: AlignerAttributes, wildcard: Optional[int] = None):
         self.attr = attr
         self.wildcard = wildcard
+        # optional utils.plot.WavefrontPlot recording band evolution
+        # (analog of wavefront_plot.c)
+        self.plot = None
 
     # ------------------------------------------------------------------
     def align(self, pattern: bytes, text: bytes) -> OracleResult:
         attr = validate_alignment(self.attr, len(pattern), len(text))
         run = _Run(attr, pattern, text, self.wildcard)
+        run.plot = self.plot
         return run.run()
 
 
@@ -112,6 +116,7 @@ class _Run:
     def __init__(self, attr: AlignerAttributes, pattern: bytes, text: bytes,
                  wildcard: Optional[int] = None):
         self.wildcard = wildcard
+        self.plot = None
         self.attr = attr
         self.pen: Penalties = attr.penalties
         self.metric = self.pen.distance_metric
@@ -168,6 +173,7 @@ class _Run:
     def run(self) -> OracleResult:
         self._null_off = self._new_off()
         self._init_wf0()
+        self._plot_record(0)
         end2end = self.form.span == AlignmentSpan.END_TO_END
         max_steps = self.attr.system.max_alignment_steps
         s = 0
@@ -179,6 +185,7 @@ class _Run:
                 break
             s += 1
             self._compute(s)
+            self._plot_record(s)
             # max-steps probe (reference: wavefront_unialign.c:100-107)
             if s >= max_steps:
                 self.cigar.score = -max_steps
@@ -194,6 +201,17 @@ class _Run:
             wf_score=self.status_score,
             dropped=self.dropped,
         )
+
+    def _plot_record(self, s: int) -> None:
+        """Record the M-wavefront for plotting (reference: wavefront_plot.c
+        hooks in wavefront_unialign.c:269-270 and aligner init)."""
+        if self.plot is None:
+            return
+        wf = self._get(Component.M, s)
+        if wf is None or wf.null:
+            return
+        sl = slice(wf.lo + self.koff, wf.hi + self.koff + 1)
+        self.plot.record(s, wf.lo, wf.hi, np.asarray(wf.off[sl]))
 
     # -- WF0 seeding (reference: wavefront_aligner.c:251-310) -----------
     def _init_wf0(self) -> None:
