@@ -216,6 +216,132 @@ class BatchResult:
     dropped: bool
 
 
+def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
+                           plens, tlens):
+    """Segmented execution with host-streamed traceback blocks.
+
+    The score loop runs in segments of K steps; each segment's choices block
+    (K x B x W bytes) is pulled to host RAM, so device memory stays bounded
+    regardless of the final score -- the tensor-engine equivalent of the
+    reference's low-memory/BiWFA envelope (SURVEY §5 long-context strategies)
+    and of wavefront_align_resume's pause/continue.
+    """
+    import jax.numpy as jnp
+
+    B = len(patterns)
+    scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
+    # segment size: keep the device block modest
+    K = max(64, int(CHOICES_BYTES_CAP // 8 // max(1, B * big_cfg.W)))
+    K = min(K, big_cfg.S_cap)
+    cfg = dataclasses.replace(big_cfg, S_cap=K)
+    if 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk) > LCP_TABLE_BYTES_CAP:
+        cfg = dataclasses.replace(cfg, use_lcp_table=False)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray(plens)
+    tlen = jnp.asarray(tlens)
+    form = attr0.form
+    if form.span == AlignmentSpan.ENDS_FREE:
+        frees_np = np.tile(np.array([[form.pattern_begin_free,
+                                      form.pattern_end_free,
+                                      form.text_begin_free,
+                                      form.text_end_free]], dtype=np.int32),
+                           (B, 1))
+        for col, lens in ((0, plens), (1, plens), (2, tlens), (3, tlens)):
+            frees_np[:, col] = np.minimum(frees_np[:, col], lens)
+    else:
+        frees_np = np.zeros((B, 4), dtype=np.int32)
+    frees = jnp.asarray(frees_np)
+    max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
+
+    seg_choices = []  # host-resident u8 blocks
+    out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
+                                     max_steps)
+    if scope_full:
+        seg_choices.append(np.asarray(out["choices"]))
+    max_segments = (big_cfg.S_cap + K - 2) // (K - 1) + 1
+    for _ in range(max_segments):
+        status = np.asarray(out["status"])
+        if not (status == E.ST_OVERFLOW_S).any():
+            break
+        out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
+                                          max_steps, state)
+        if scope_full:
+            seg_choices.append(np.asarray(out["choices"]))
+
+    status = np.asarray(out["status"])
+    final_s = np.asarray(out["final_s"])
+    end_k = np.asarray(out["end_k"])
+    end_off = np.asarray(out["end_off"])
+    pen = attr0.penalties
+    results = [None] * B
+    oracle_idx = []
+
+    clean = (status == E.ST_END_REACHED)
+    fb = np.zeros(B, dtype=bool)
+    if scope_full and clean.any():
+        # stitch the walk across segments, top to bottom
+        carry = E.walk_carry_init(final_s, end_k, jnp.asarray(clean))
+        blocks = []
+        for i in range(len(seg_choices) - 1, -1, -1):
+            seg_base = jnp.int32(i * (K - 1))
+            ops_seg, carry = E.traceback_walk_segment(
+                cfg, jnp.asarray(seg_choices[i]), seg_base, carry)
+            blocks.append(np.asarray(ops_seg))
+        # forward (ascending-level) order
+        ops_all = np.concatenate(blocks[::-1], axis=1)
+        k_start = np.asarray(carry[1])
+        fb = np.asarray(carry[4]) | np.asarray(carry[3])
+        n_ops = (ops_all != 0).sum(axis=1).astype(np.int64)
+        native_ops = {}
+        clean_idx = [b for b in range(B) if clean[b] and not fb[b]]
+        if clean_idx:
+            native_ops = _native_fill(cfg, clean_idx, patterns, texts, plens,
+                                      tlens, end_k, end_off, ops_all, n_ops,
+                                      k_start, wildcard)
+
+    for b in range(B):
+        st = int(status[b])
+        if st == E.ST_END_REACHED and (not scope_full):
+            s = int(final_s[b])
+            sc = classic_score(pen, int(plens[b]), int(tlens[b]), s)
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, "",
+                                     int(plens[b]), int(tlens[b]), s, False)
+        elif st == E.ST_END_REACHED and not fb[b]:
+            s = int(final_s[b])
+            ek = int(end_k[b])
+            eoff = int(end_off[b])
+            ev, eh = eoff - ek, eoff
+            if b in native_ops:
+                ops = native_ops[b]
+            else:
+                ops = _match_fill(patterns[b], texts[b], ops_all[b],
+                                  int(n_ops[b]), int(k_start[b]),
+                                  int(plens[b]), int(tlens[b]), wildcard)
+                if eh < int(tlens[b]):
+                    ops = ops + "I" * (int(tlens[b]) - eh)
+                if ev < int(plens[b]):
+                    ops = ops + "D" * (int(plens[b]) - ev)
+            sc = classic_score(pen, ev, eh, s)
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev, eh,
+                                     s, False)
+        elif st == E.ST_MAX_STEPS:
+            results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
+                                     -int(max_steps), "", 0, 0,
+                                     int(final_s[b]), False)
+        else:
+            oracle_idx.append(b)
+
+    if oracle_idx:
+        orc = OracleAligner(attr, wildcard)
+        for b in oracle_idx:
+            r = orc.align(patterns[b], texts[b])
+            results[b] = BatchResult(r.status, r.score, r.ops, r.end_v,
+                                     r.end_h, r.wf_score, r.dropped)
+    return results
+
+
 class BatchWavefrontAligner:
     """TPU-batched aligner: many pattern/text pairs per call.
 
@@ -308,14 +434,13 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
                         W=W, S_cap=S_cap, record_choices=scope_full)
     at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
     if scope_full and cfg.S_cap * B * cfg.W > CHOICES_BYTES_CAP:
-        # cannot afford the traceback record on device -> host oracle
-        orc = OracleAligner(attr, wildcard)
-        out = []
-        for p, t in zip(patterns, texts):
-            r = orc.align(p, t)
-            out.append(BatchResult(r.status, r.score, r.ops, r.end_v,
-                                   r.end_h, r.wf_score, r.dropped))
-        return out
+        # device can't hold the whole traceback record: run in segments,
+        # streaming each segment's choice block to the host. Segments lift
+        # the score cap entirely, so the band must be worst-case wide.
+        seg_cfg = dataclasses.replace(cfg, W=max(cfg.W, full_probe.W),
+                                      S_cap=full_probe.S_cap)
+        return _align_pairs_segmented(attr, attr0, patterns, texts, wildcard,
+                                      seg_cfg, plens, tlens)
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
     if lcp_bytes > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)

@@ -241,6 +241,7 @@ def _init_state(cfg: EngineConfig, B: int, plen, tlen, frees, max_steps):
 
     state = dict(
         s=jnp.int32(0),
+        seg_base=jnp.int32(0),
         offsets=offsets,
         lo=lo,
         hi=hi,
@@ -669,7 +670,7 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
         # wherever I/D cells are valid, which can exceed M's trimmed band
         ch = jnp.where(band, choice, 0).astype(jnp.uint8)
         state["choices"] = jax.lax.dynamic_update_index_in_dim(
-            state["choices"], ch, s_next, axis=0)
+            state["choices"], ch, s_next - state["seg_base"], axis=0)
     return state, overflow
 
 
@@ -769,7 +770,7 @@ def _step_compute_edit(cfg, state, plen, tlen, frees, active):
     if cfg.record_choices:
         ch = jnp.where(band, msrc, 0).astype(jnp.uint8)
         state["choices"] = jax.lax.dynamic_update_index_in_dim(
-            state["choices"], ch, s_next, axis=0)
+            state["choices"], ch, s_next - state["seg_base"], axis=0)
     return state, overflow
 
 
@@ -979,23 +980,15 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
 # Main loop
 # ===========================================================================
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
-    """Batched WFA over B pairs.
-
-    pat: [B, Lp + C] int8 (sentinel-padded), txt: [B, Lt + C] int8,
-    plen/tlen: [B] int32, frees: [B, 4] int32
-    (pattern_begin, pattern_end, text_begin, text_end), max_steps: [] int32.
-
-    Returns dict with per-pair status/final_s/end_k/end_off (+ choices).
-    """
-    B = pat.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
+              max_steps):
+    """Run the score loop from `state` for up to S_cap-1 more steps."""
     end2end = cfg.span == AlignmentSpan.END_TO_END
     lcp = _build_lcp_table(cfg, pat, txt) if cfg.use_lcp_table else None
+    seg_end = state["seg_base"] + (cfg.S_cap - 1)
 
     def cond(state):
-        return (~state["done"]).any() & (state["s"] < cfg.S_cap - 1)
+        return (~state["done"]).any() & (state["s"] < seg_end)
 
     def body(state):
         s = state["s"]
@@ -1065,15 +1058,14 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
         state["s"] = s_next
         return state
 
-    state = jax.lax.while_loop(cond, body, state)
-    # pairs still running at S_cap -> score-cap overflow (escalate)
-    running = ~state["done"]
-    state["status"] = jnp.where(running, ST_OVERFLOW_S, state["status"])
-    state["final_s"] = jnp.where(running, state["s"], state["final_s"])
+    return jax.lax.while_loop(cond, body, state)
 
+
+def _finish(cfg, state):
+    running = ~state["done"]
     out = dict(
-        status=state["status"],
-        final_s=state["final_s"],
+        status=jnp.where(running, ST_OVERFLOW_S, state["status"]),
+        final_s=jnp.where(running, state["s"], state["final_s"]),
         end_k=state["end_k"],
         end_off=state["end_off"],
         steps=state["s"],
@@ -1083,30 +1075,70 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
+    """Batched WFA over B pairs.
+
+    pat: [B, Lp + C] int8 (sentinel-padded), txt: [B, Lt + C] int8,
+    plen/tlen: [B] int32, frees: [B, 4] int32
+    (pattern_begin, pattern_end, text_begin, text_end), max_steps: [] int32.
+
+    Returns dict with per-pair status/final_s/end_k/end_off (+ choices).
+    Pairs still running at S_cap report ST_OVERFLOW_S (escalate or segment).
+    """
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_start(cfg: EngineConfig, pat, txt, plen, tlen, frees,
+                      max_steps):
+    """Segmented execution, first segment: returns (out, resumable state).
+
+    Device memory is bounded by one segment's choices block [S_cap, B, W];
+    the host collects per-segment choice blocks and stitches the traceback
+    (see traceback_walk_segment). This is the engine's checkpoint/resume
+    primitive -- the analog of both the reference's low-memory modes
+    (bounded traceback storage, wavefront_backtrace_offload.c) and its
+    experimental wavefront_align_resume (wavefront_align.c:245-266).
+    """
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state), state
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_resume(cfg: EngineConfig, pat, txt, plen, tlen, frees,
+                       max_steps, state):
+    """Continue a segmented run from `state` for another S_cap-1 steps."""
+    state = dict(state)
+    state["seg_base"] = state["s"]
+    if cfg.record_choices:
+        state["choices"] = jnp.zeros_like(state["choices"])
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state), state
+
+
 # ===========================================================================
 # Traceback walk (choices tensor -> op stream)
 # ===========================================================================
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
-    """Walk the choice tensor backwards from each pair's end cell.
-
-    Emits per pair a reversed, zero-sparse op stream (codes WOP_* |
-    WOP_MFLAG; 0 = no op at that level) plus the start diagonal.
-    `ok`: [B] pairs with a clean END_REACHED result.
-    Returns (ops_rev [B, S_cap] uint8, n_ops [B], k_start [B], fallback [B]).
+def _walk_step_fn(cfg: EngineConfig, B: int):
+    """Per-level walk step (shared by one-shot and segmented walks).
 
     Rather than gathering choices[s[b], b, k[b]] per step, the scan runs
-    over *score levels* from high to low with the reversed choices tensor as
-    its streamed input: a pair acts only at its current score (scores
-    strictly decrease per op), and the cell read becomes a one-hot select
-    over the W lanes of the level's slice -- no gathers at all.
+    over *score levels* from high to low with the choices tensor as its
+    streamed input: a pair acts only at its current score (scores strictly
+    decrease per op), and the cell read becomes a one-hot select over the W
+    lanes of the level's slice -- no gathers at all.
 
     The M-preceded flag marks ops selected while in the M matrix -- exactly
     the positions where the reference's backtrace inserts a match run
     (reference: wavefront_backtrace.c:425-436).
     """
-    B = choices.shape[1]
     x = cfg.mismatch
     o1e1 = cfg.gap_opening1 + cfg.gap_extension1
     e1 = cfg.gap_extension1
@@ -1201,6 +1233,20 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
         act_new = act_new & ~bad2
         return (s2, k2, comp2, act_new, fallback), emit
 
+    return step
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
+    """Walk the choice tensor backwards from each pair's end cell.
+
+    Emits per pair a zero-sparse op stream in FORWARD cigar order (codes
+    WOP_* | WOP_MFLAG; 0 = no op at that level) plus the start diagonal.
+    `ok`: [B] pairs with a clean END_REACHED result.
+    Returns (ops_fwd [B, S_cap] uint8, n_ops [B], k_start [B], fallback [B]).
+    """
+    B = choices.shape[1]
+    step = _walk_step_fn(cfg, B)
     levels = jnp.arange(cfg.S_cap, dtype=jnp.int32)
     init = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
             jnp.zeros((B,), bool))
@@ -1211,3 +1257,36 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     n_ops = jnp.sum((ops_fwd != 0).astype(jnp.int32), axis=0)
     # [B, S_cap], sparse (0 = no op at that score level), FORWARD cigar order
     return ops_fwd.T, n_ops, k_f, fallback
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def traceback_walk_segment(cfg: EngineConfig, choices, seg_base, carry):
+    """Walk one segment's choices block (levels [seg_base, seg_base+S_cap)).
+
+    `carry` = (s, k, comp, active, fallback) per pair; start from
+    walk_carry_init(...) at the topmost segment and feed each segment's
+    returned carry into the next-lower one. Returns (ops_fwd [B, S_cap],
+    carry). After the bottom segment, pairs still active are inconsistent
+    (fallback).
+    """
+    B = choices.shape[1]
+    step = _walk_step_fn(cfg, B)
+    idx = jnp.arange(cfg.S_cap, dtype=jnp.int32)
+    levels = seg_base + idx
+    # slot 0 of a non-bottom segment aliases the previous segment's top
+    # level (compute writes indices [1, S_cap-1] per segment); mask it out
+    levels = jnp.where((idx == 0) & (seg_base > 0), jnp.int32(-2**30),
+                       levels)
+    carry, ops_fwd = jax.lax.scan(step, carry, (levels, choices),
+                                  reverse=True)
+    return ops_fwd.T, carry
+
+
+def walk_carry_init(final_s, end_k, ok):
+    import numpy as _np
+    B = len(final_s)
+    return (jnp.asarray(final_s, dtype=jnp.int32),
+            jnp.asarray(end_k, dtype=jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(ok),
+            jnp.zeros((B,), bool))
