@@ -20,6 +20,7 @@ from .cigar import Cigar, cigar_maxtrim
 from .constants import (
     AlignmentScope,
     AlignmentSpan,
+    MemoryMode,
     OFFSET_NULL,
     STATUS_ALG_COMPLETED,
     STATUS_ALG_PARTIAL,
@@ -421,6 +422,13 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     maxLt = int(tlens.max()) if B else 0
     attr0 = validate_alignment(attr, maxLp, maxLt)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
+    # memory modes scale the on-device traceback budget; med/low/ultralow
+    # force earlier segmentation (the reference's memory ladder,
+    # wavefront_aligner.c:101-122, re-expressed for tensor storage)
+    choices_cap = CHOICES_BYTES_CAP // {
+        MemoryMode.HIGH: 1, MemoryMode.MED: 4,
+        MemoryMode.LOW: 16, MemoryMode.ULTRALOW: 64,
+    }[attr0.memory_mode]
     full_probe = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
                                record_choices=scope_full)
     if (W is None and S_cap is None and full_probe.S_cap > 192
@@ -433,7 +441,7 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
                         wildcard=(wildcard if wildcard is not None else -1),
                         W=W, S_cap=S_cap, record_choices=scope_full)
     at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
-    if scope_full and cfg.S_cap * B * cfg.W > CHOICES_BYTES_CAP:
+    if scope_full and cfg.S_cap * B * cfg.W > choices_cap:
         # device can't hold the whole traceback record: run in segments,
         # streaming each segment's choice block to the host. Segments lift
         # the score cap entirely, so the band must be worst-case wide.

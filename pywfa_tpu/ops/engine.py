@@ -469,14 +469,15 @@ def _trim_ends(cfg, off, lo, hi, plen, tlen):
     storage invariant (NULL outside band) is enforced by the caller's mask.
     """
     W = cfg.W
-    karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
+    iota = jnp.arange(W, dtype=jnp.int32)
+    karr = iota + cfg.kmin
     band = _band_mask(cfg, lo, hi)
     v = off - karr[None, :]
     h = off
     inb = band & (h >= 0) & (h <= tlen[:, None]) & (v >= 0) & (v <= plen[:, None])
+    first = jnp.min(jnp.where(inb, iota[None, :], W), axis=1) + cfg.kmin
+    last = jnp.max(jnp.where(inb, iota[None, :], -1), axis=1) + cfg.kmin
     any_ok = inb.any(axis=1)
-    first = jnp.argmax(inb, axis=1).astype(jnp.int32) + cfg.kmin
-    last = (W - 1 - jnp.argmax(inb[:, ::-1], axis=1)).astype(jnp.int32) + cfg.kmin
     new_lo = jnp.where(any_ok, first, 1)
     new_hi = jnp.where(any_ok, last, -1)
     return new_lo, new_hi
@@ -856,10 +857,12 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
         ak = tlen - plen
         # reduce from bottom over [lo, min(ak, hi)) (reference: :236-248)
         top_limit = jnp.minimum(ak, hi)
+        iota = jnp.arange(cfg.W, dtype=jnp.int32)[None, :]
         in_bot = band & (karr[None, :] < top_limit[:, None])
         stop_bot = in_bot & keep
         any_bot = stop_bot.any(axis=1)
-        first_keep = jnp.argmax(stop_bot, axis=1).astype(jnp.int32) + cfg.kmin
+        first_keep = jnp.min(jnp.where(stop_bot, iota, cfg.W),
+                             axis=1) + cfg.kmin
         lo_red = jnp.where(any_bot, first_keep, jnp.maximum(top_limit, lo))
         new_lo = jnp.where(do, jnp.maximum(lo_red, lo), lo)
         # reduce from top over (max(ak, new_lo), hi]
@@ -867,8 +870,7 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
         in_top = band & (karr[None, :] > bot_limit[:, None])
         stop_top = in_top & keep
         any_top = stop_top.any(axis=1)
-        last_keep = (cfg.W - 1 - jnp.argmax(stop_top[:, ::-1], axis=1)
-                     ).astype(jnp.int32) + cfg.kmin
+        last_keep = jnp.max(jnp.where(stop_top, iota, -1), axis=1) + cfg.kmin
         hi_red = jnp.where(any_top, last_keep, jnp.minimum(bot_limit, hi))
         new_hi = jnp.where(do, jnp.minimum(hi_red, hi), hi)
         lo, hi = new_lo, new_hi
@@ -897,9 +899,9 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
             prune = do & have_hist
             keep = valid & ((state["h_max_sw"][:, None] - sw) < cfg.xdrop)
             any_keep = keep.any(axis=1)
-            first = jnp.argmax(keep, axis=1).astype(jnp.int32) + cfg.kmin
-            last = (cfg.W - 1 - jnp.argmax(keep[:, ::-1], axis=1)
-                    ).astype(jnp.int32) + cfg.kmin
+            iota_x = jnp.arange(cfg.W, dtype=jnp.int32)[None, :]
+            first = jnp.min(jnp.where(keep, iota_x, cfg.W), axis=1) + cfg.kmin
+            last = jnp.max(jnp.where(keep, iota_x, -1), axis=1) + cfg.kmin
             lo = jnp.where(prune, jnp.where(any_keep, first, hi + 1), lo)
             hi = jnp.where(prune, jnp.where(any_keep, last, lo - 1), hi)
             upd = do & ((~have_hist) | (cmax > state["h_max_sw"]))
