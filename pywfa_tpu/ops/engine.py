@@ -675,15 +675,6 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
     return state, overflow
 
 
-def _seeded_exists(cfg, s_next, frees):
-    """Whether a null-step still yields a seeded M wavefront (match != 0)."""
-    if (cfg.span != AlignmentSpan.ENDS_FREE) or cfg.match == 0:
-        return False
-    need = (s_next % (-cfg.match)) == 0
-    ek = s_next // (-cfg.match)
-    return need & ((frees[:, 2] >= ek) | (frees[:, 0] >= ek))
-
-
 def _endsfree_seed(cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr):
     """Ends-free boundary seeding for match != 0 (reference: compute.c:124-254)."""
     mvals = outs[M]
