@@ -271,10 +271,9 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
         if scope_full:
             seg_choices.append(np.asarray(out["choices"]))
 
-    status = np.asarray(out["status"])
-    final_s = np.asarray(out["final_s"])
-    end_k = np.asarray(out["end_k"])
-    end_off = np.asarray(out["end_off"])
+    meta = np.asarray(jnp.stack([out["status"], out["final_s"],
+                                 out["end_k"], out["end_off"]]))
+    status, final_s, end_k, end_off = meta
     pen = attr0.penalties
     results = [None] * B
     oracle_idx = []
@@ -476,9 +475,11 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
     out = _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np)
-    status = np.asarray(out["status"])
-    final_s = np.asarray(out["final_s"])
-    end_k = np.asarray(out["end_k"])
+    # pack the small per-pair outputs into ONE device->host transfer: on
+    # tunneled TPU setups each separate pull pays a full RPC round trip
+    meta = np.asarray(jnp.stack([out["status"], out["final_s"],
+                                 out["end_k"], out["end_off"]]))
+    status, final_s, end_k, end_off = meta
 
     results: List[Optional[BatchResult]] = [None] * B
     pen = attr0.penalties
@@ -486,18 +487,18 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     clean = status == E.ST_END_REACHED
     if scope_full and clean.any():
         ok = jnp.asarray(clean)
-        ops_rev, n_ops, k_start, fb = E.traceback_walk(
+        ops_rev_d, n_ops_d, k_start_d, fb_d = E.traceback_walk(
             cfg, out["choices"], out["final_s"], out["end_k"], ok)
-        ops_rev = np.asarray(ops_rev)
-        n_ops = np.asarray(n_ops)
-        k_start = np.asarray(k_start)
-        fb = np.asarray(fb)
+        wmeta = np.asarray(jnp.stack([n_ops_d, k_start_d,
+                                      fb_d.astype(jnp.int32)]))
+        n_ops, k_start = wmeta[0], wmeta[1]
+        fb = wmeta[2] != 0
+        ops_rev = np.asarray(ops_rev_d)
     else:
         fb = np.zeros(B, dtype=bool)
 
     oracle_idx: List[int] = []
     escalate_idx: List[int] = []
-    end_off = np.asarray(out["end_off"])
 
     # clean full-CIGAR pairs: batched native match-fill when available
     native_ops: dict = {}
