@@ -110,27 +110,25 @@ for _code, _ch in ((0, "M"), (1, "I"), (2, "D"), (8, "X")):
     _OP_CHAR_LUT[_code] = ord(_ch)
 
 
-def _native_fill(cfg, clean_idx, patterns, texts, plens, tlens, end_k,
+def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
                  end_off, ops_rev, n_ops, k_start, wildcard) -> dict:
-    """Batched C++ match-fill for the clean pairs; {} if lib unavailable."""
+    """Batched C++ match-fill for the clean pairs; {} if lib unavailable.
+
+    pat_np/txt_np: the already-encoded [B, L+C] int8 token matrices (the
+    sentinel padding past each sequence end is never read).
+    """
     from . import native
     if native.lib() is None:
         return {}
     idx = np.asarray(clean_idx)
-    n = len(idx)
-    maxLp = int(plens[idx].max())
-    maxLt = int(tlens[idx].max())
-    pat = np.zeros((n, maxLp + 1), dtype=np.uint8)
-    txt = np.zeros((n, maxLt + 1), dtype=np.uint8)
-    for i, b in enumerate(idx):
-        pat[i, : len(patterns[b])] = np.frombuffer(patterns[b], np.uint8)
-        txt[i, : len(texts[b])] = np.frombuffer(texts[b], np.uint8)
+    pat = np.ascontiguousarray(pat_np[idx]).view(np.uint8)
+    txt = np.ascontiguousarray(txt_np[idx]).view(np.uint8)
     ev = (end_off[idx] - end_k[idx]).astype(np.int64)
     eh = end_off[idx].astype(np.int64)
     trail_i = (tlens[idx] - eh).astype(np.int64)
     trail_d = (plens[idx] - ev).astype(np.int64)
     # the op stream is zero-sparse over the full row; scan all entries
-    scan_lens = np.full(n, ops_rev.shape[1], dtype=np.int64)
+    scan_lens = np.full(len(idx), ops_rev.shape[1], dtype=np.int64)
     res = native.match_fill_batch(
         np.ascontiguousarray(ops_rev[idx]).view(np.uint8),
         scan_lens,
@@ -238,8 +236,10 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
     if 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk) > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
     C = cfg.extend_chunk
-    pat = jnp.asarray(encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL))
-    txt = jnp.asarray(encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL))
+    pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
+    txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL)
+    pat = jnp.asarray(pat_np)
+    txt = jnp.asarray(txt_np)
     plen = jnp.asarray(plens)
     tlen = jnp.asarray(tlens)
     form = attr0.form
@@ -297,7 +297,7 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
         native_ops = {}
         clean_idx = [b for b in range(B) if clean[b] and not fb[b]]
         if clean_idx:
-            native_ops = _native_fill(cfg, clean_idx, patterns, texts, plens,
+            native_ops = _native_fill(cfg, clean_idx, pat_np, txt_np, plens,
                                       tlens, end_k, end_off, ops_all, n_ops,
                                       k_start, wildcard)
 
@@ -453,8 +453,10 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
     C = cfg.extend_chunk
 
-    pat = jnp.asarray(encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL))
-    txt = jnp.asarray(encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL))
+    pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
+    txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL)
+    pat = jnp.asarray(pat_np)
+    txt = jnp.asarray(txt_np)
     plen = jnp.asarray(plens)
     tlen = jnp.asarray(tlens)
     form = attr0.form
@@ -506,7 +508,7 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         clean_idx = [b for b in range(B)
                      if status[b] == E.ST_END_REACHED and not fb[b]]
         if clean_idx:
-            native_ops = _native_fill(cfg, clean_idx, patterns, texts, plens,
+            native_ops = _native_fill(cfg, clean_idx, pat_np, txt_np, plens,
                                       tlens, end_k, end_off, ops_rev, n_ops,
                                       k_start, wildcard)
 
