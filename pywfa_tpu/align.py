@@ -308,6 +308,7 @@ class WavefrontAligner:
                  backend="auto",
                  verbose=0,
                  check_alignment=False,
+                 extension=False,
                  ):
         self.pattern_len = 0
         self.text_len = 0
@@ -363,6 +364,9 @@ class WavefrontAligner:
             raise ValueError(
                 "memory_mode must be one of 'high', 'medium', 'low', 'biwfa'")
 
+        # WF-extension mode (reference: alignment_form_t.extension,
+        # wavefront_align.c:57-63 autoconfig + maxtrim on terminate)
+        self._extension = bool(extension)
         self._pattern_begin_free = pattern_begin_free
         self._pattern_end_free = pattern_end_free
         self._text_begin_free = text_begin_free
@@ -424,6 +428,7 @@ class WavefrontAligner:
             scope=self._scope,
             form=AlignmentForm(
                 span=self._span,
+                extension=self._extension,
                 pattern_begin_free=self._pattern_begin_free,
                 pattern_end_free=self._pattern_end_free,
                 text_begin_free=self._text_begin_free,
@@ -517,6 +522,9 @@ class WavefrontAligner:
 
     @pattern_begin_free.setter
     def pattern_begin_free(self, pattern_begin_free):
+        # WF-extension mode (reference: alignment_form_t.extension,
+        # wavefront_align.c:57-63 autoconfig + maxtrim on terminate)
+        self._extension = bool(extension)
         self._pattern_begin_free = pattern_begin_free
 
     @property

@@ -421,6 +421,14 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     maxLt = int(tlens.max()) if B else 0
     attr0 = validate_alignment(attr, maxLp, maxLt)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
+    if attr0.form.extension:
+        # WF-extension mode (experimental in the reference,
+        # wavefront_align.c:57-63): complete alignments are maxtrim'd to
+        # their best-scoring prefix -- exact host path
+        orc = OracleAligner(attr, wildcard)
+        return [BatchResult(r.status, r.score, r.ops, r.end_v, r.end_h,
+                            r.wf_score, r.dropped)
+                for r in (orc.align(p, t) for p, t in zip(patterns, texts))]
     # memory modes scale the on-device traceback budget; med/low/ultralow
     # force earlier segmentation (the reference's memory ladder,
     # wavefront_aligner.c:101-122, re-expressed for tensor storage)

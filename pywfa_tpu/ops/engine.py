@@ -973,6 +973,25 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
 # Main loop
 # ===========================================================================
 
+def memory_estimate(cfg: EngineConfig, B: int) -> dict:
+    """Device-memory footprint of one engine invocation, in bytes.
+
+    Analog of wavefront_aligner_get_size (reference:
+    wavefront_aligner.c:646-662) for capacity planning.
+    """
+    W, scope, n_comp = cfg.W, cfg.scope, cfg.n_comp
+    ring = n_comp * scope * B * W * 4
+    lohi = n_comp * scope * B * 4 * 2
+    choices = cfg.S_cap * B * W if cfg.record_choices else 0
+    Ltp = cfg.Lt + cfg.extend_chunk
+    dt = 2 if Ltp < 32000 else 4
+    lcp = B * W * Ltp * dt if cfg.use_lcp_table else 0
+    seqs = B * (cfg.Lp + cfg.Lt + 2 * cfg.extend_chunk)
+    total = ring + lohi + choices + lcp + seqs
+    return dict(ring=ring, lohi=lohi, choices=choices, lcp_table=lcp,
+                sequences=seqs, total=total)
+
+
 def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
               max_steps):
     """Run the score loop from `state` for up to S_cap-1 more steps."""
