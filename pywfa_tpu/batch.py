@@ -214,6 +214,21 @@ class BatchResult:
     wf_score: int
     dropped: bool
 
+    @property
+    def cigartuples(self):
+        from .cigar import ops_to_cigartuples
+        return ops_to_cigartuples(self.ops)
+
+    @property
+    def cigarstring(self) -> str:
+        from .cigar import ops_to_cigarstring
+        return ops_to_cigarstring(self.ops)
+
+    @property
+    def sam_cigar(self) -> str:
+        from .cigar import cigar_sprint_sam
+        return cigar_sprint_sam(self.ops, show_mismatches=False)
+
 
 def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                            plens, tlens):
