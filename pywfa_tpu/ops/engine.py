@@ -354,6 +354,9 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     mism = jnp.where(eq, big, hidx)
     nm = jax.lax.cummin(mism, axis=2, reverse=True)
     run = jnp.minimum(nm, big) - hidx
+    if Ltp < 250:
+        # short reads: runs fit uint8, halving the per-step lookup stream
+        return run.astype(jnp.uint8)
     return run.astype(dt)
 
 
@@ -382,10 +385,11 @@ def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
         run = jnp.take_along_axis(lcp, idx[:, :, None].astype(jnp.int32),
                                   axis=2)[:, :, 0].astype(jnp.int32)
     else:
-        hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
-        hit = hidx == idx[:, :, None].astype(dt)
-        run = jnp.sum(jnp.where(hit, lcp, dt.type(0)).astype(jnp.int32),
-                      axis=2)
+        it = jnp.int16 if Ltp < 32000 else jnp.int32
+        hidx = jnp.arange(Ltp, dtype=it)[None, None, :]
+        hit = hidx == idx[:, :, None].astype(it)
+        run = jnp.sum(jnp.where(hit, lcp, lcp.dtype.type(0)
+                                ).astype(jnp.int32), axis=2)
     return jnp.where(valid, off + run, off)
 
 

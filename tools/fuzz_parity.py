@@ -11,9 +11,13 @@ Not part of the default test suite; run ad hoc:
 Any failure prints a minimal repro dict and exits nonzero.
 """
 import json
+import os
 import random
 import sys
 
+# run CPU-only and do NOT claim the TPU (the axon sitecustomize registers a
+# TPU grant for every python process unless this is unset)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 sys.path.insert(0, ".")
 
 import jax
@@ -141,6 +145,7 @@ def main():
                 break
         if (it + 1) % 20 == 0:
             print(f"... {it + 1}/{iters} ok={it + 1 - fails}", flush=True)
+            jax.clear_caches()  # bound compile-cache memory across configs
     print(f"DONE {iters} iters, {fails} failures")
     sys.exit(1 if fails else 0)
 
