@@ -15,6 +15,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from .attributes import AlignerAttributes, classic_score, validate_alignment
 from .cigar import Cigar, cigar_maxtrim
 from .constants import (
@@ -426,8 +429,6 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     through a geometric ladder (compute is proportional to the *reached*
     score, preserving WFA's O(ns+s^2) behavior on easy pairs).
     """
-    import jax.numpy as jnp
-
     B = len(patterns)
     assert B == len(texts)
     plens = np.array([len(p) for p in patterns], dtype=np.int32)
@@ -500,27 +501,35 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
     out = _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np)
-    # pack the small per-pair outputs into ONE device->host transfer: on
-    # tunneled TPU setups each separate pull pays a full RPC round trip
-    meta = np.asarray(jnp.stack([out["status"], out["final_s"],
-                                 out["end_k"], out["end_off"]]))
-    status, final_s, end_k, end_off = meta
-
     results: List[Optional[BatchResult]] = [None] * B
     pen = attr0.penalties
 
-    clean = status == E.ST_END_REACHED
-    if scope_full and clean.any():
-        ok = jnp.asarray(clean)
+    # pack ALL per-pair outputs into ONE device->host transfer: on tunneled
+    # TPU setups each separate pull pays a full RPC round trip. The walk
+    # runs unconditionally with the clean-mask computed on device.
+    meta_d = jnp.stack([out["status"], out["final_s"],
+                        out["end_k"], out["end_off"]])
+    if scope_full:
+        ok_d = out["status"] == E.ST_END_REACHED
         ops_rev_d, n_ops_d, k_start_d, fb_d = E.traceback_walk(
-            cfg, out["choices"], out["final_s"], out["end_k"], ok)
-        wmeta = np.asarray(jnp.stack([n_ops_d, k_start_d,
-                                      fb_d.astype(jnp.int32)]))
-        n_ops, k_start = wmeta[0], wmeta[1]
-        fb = wmeta[2] != 0
-        ops_rev = np.asarray(ops_rev_d)
+            cfg, out["choices"], out["final_s"], out["end_k"], ok_d)
+        meta_d = jnp.concatenate([
+            meta_d, jnp.stack([n_ops_d, k_start_d,
+                               fb_d.astype(jnp.int32)])])
+        packed = jnp.concatenate([
+            jax.lax.bitcast_convert_type(meta_d, jnp.uint8).reshape(-1),
+            ops_rev_d.reshape(-1)])
+        packed = np.asarray(packed)
+        meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
+        ops_rev = packed[7 * B * 4:].reshape(B, cfg.S_cap)
+        status, final_s, end_k, end_off, n_ops, k_start = meta[:6]
+        fb = meta[6] != 0
     else:
+        meta = np.asarray(meta_d)
+        status, final_s, end_k, end_off = meta
         fb = np.zeros(B, dtype=bool)
+
+    clean = status == E.ST_END_REACHED
 
     oracle_idx: List[int] = []
     escalate_idx: List[int] = []
