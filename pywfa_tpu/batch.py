@@ -435,6 +435,17 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     tlens = np.array([len(t) for t in texts], dtype=np.int32)
     maxLp = int(plens.max()) if B else 0
     maxLt = int(tlens.max()) if B else 0
+    # batch semantics: ends-free slack is clamped per pair (the reference
+    # aborts the process instead, wavefront_align.c:90-103); clamp before
+    # validation so mixed-length batches pass
+    f = attr.form
+    if f.span == AlignmentSpan.ENDS_FREE and not f.extension:
+        attr = dataclasses.replace(attr, form=dataclasses.replace(
+            f,
+            pattern_begin_free=min(f.pattern_begin_free, maxLp),
+            pattern_end_free=min(f.pattern_end_free, maxLp),
+            text_begin_free=min(f.text_begin_free, maxLt),
+            text_end_free=min(f.text_end_free, maxLt)))
     attr0 = validate_alignment(attr, maxLp, maxLt)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
     if attr0.form.extension:
