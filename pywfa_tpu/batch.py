@@ -233,6 +233,24 @@ class BatchResult:
         return cigar_sprint_sam(self.ops, show_mismatches=False)
 
 
+
+def _oracle_one(attr: AlignerAttributes, pattern: bytes, text: bytes,
+                wildcard) -> "BatchResult":
+    """Exact oracle fallback for one pair, with batch-mode per-pair
+    ends-free clamping applied."""
+    f = attr.form
+    if f.span == AlignmentSpan.ENDS_FREE:
+        attr = dataclasses.replace(attr, form=dataclasses.replace(
+            f,
+            pattern_begin_free=min(f.pattern_begin_free, len(pattern)),
+            pattern_end_free=min(f.pattern_end_free, len(pattern)),
+            text_begin_free=min(f.text_begin_free, len(text)),
+            text_end_free=min(f.text_end_free, len(text))))
+    r = OracleAligner(attr, wildcard).align(pattern, text)
+    return BatchResult(r.status, r.score, r.ops, r.end_v, r.end_h,
+                       r.wf_score, r.dropped)
+
+
 def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                            plens, tlens):
     """Segmented execution with host-streamed traceback blocks.
@@ -352,11 +370,8 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
             oracle_idx.append(b)
 
     if oracle_idx:
-        orc = OracleAligner(attr, wildcard)
         for b in oracle_idx:
-            r = orc.align(patterns[b], texts[b])
-            results[b] = BatchResult(r.status, r.score, r.ops, r.end_v,
-                                     r.end_h, r.wf_score, r.dropped)
+            results[b] = _oracle_one(attr, patterns[b], texts[b], wildcard)
     return results
 
 
@@ -452,10 +467,8 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         # WF-extension mode (experimental in the reference,
         # wavefront_align.c:57-63): complete alignments are maxtrim'd to
         # their best-scoring prefix -- exact host path
-        orc = OracleAligner(attr, wildcard)
-        return [BatchResult(r.status, r.score, r.ops, r.end_v, r.end_h,
-                            r.wf_score, r.dropped)
-                for r in (orc.align(p, t) for p, t in zip(patterns, texts))]
+        return [_oracle_one(attr, p, t, wildcard)
+                for p, t in zip(patterns, texts)]
     # memory modes scale the on-device traceback budget; med/low/ultralow
     # force earlier segmentation (the reference's memory ladder,
     # wavefront_aligner.c:101-122, re-expressed for tensor storage)
@@ -609,10 +622,7 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
             results[b] = r
 
     if oracle_idx:
-        orc = OracleAligner(attr, wildcard)
         for b in oracle_idx:
-            r = orc.align(patterns[b], texts[b])
-            results[b] = BatchResult(r.status, r.score, r.ops, r.end_v,
-                                     r.end_h, r.wf_score, r.dropped)
+            results[b] = _oracle_one(attr, patterns[b], texts[b], wildcard)
 
     return results  # type: ignore[return-value]
