@@ -300,7 +300,8 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
         eq = pch == tch
         if cfg.wildcard >= 0:
             wc = jnp.int8(cfg.wildcard)
-            eq = eq | (pch == wc) | (tch == wc)
+            eq = (eq | (pch == wc) | (tch == wc)) \
+                & (pch != jnp.int8(PATTERN_PAD)) & (tch != jnp.int8(TEXT_PAD))
         run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)
         ok = active & (v >= 0) & (h >= 0) & (v < plen[:, None]) & (h < tlen[:, None])
         run = jnp.where(ok, run, 0)
@@ -346,8 +347,12 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     patk = jax.lax.slice_in_dim(skew, c0, c0 + Ltp, axis=2)  # [B, W, Ltp]
     eq = patk == txt[:, None, :]
     if cfg.wildcard >= 0:
+        # wildcard matches any real character but must NOT match the
+        # sentinel padding, or extension would run past sequence ends
         wc = jnp.int8(cfg.wildcard)
-        eq = eq | (patk == wc) | (txt[:, None, :] == wc)
+        eq = (eq | (patk == wc) | (txt[:, None, :] == wc)) \
+            & (patk != jnp.int8(PATTERN_PAD)) \
+            & (txt[:, None, :] != jnp.int8(TEXT_PAD))
     dt = jnp.int16 if Ltp < 32000 else jnp.int32
     hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
     big = dt(Ltp)

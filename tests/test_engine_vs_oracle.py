@@ -35,10 +35,11 @@ def mutate(rng, seq, sub_rate, indel_rate):
 def _compare(aligner_kwargs, pairs):
     api = WavefrontAligner(backend="numpy", **aligner_kwargs)
     attr = api._attributes()
+    wc = api._bwildcard if api._wildcard else None
     bp = [p.encode() for p, _ in pairs]
     bt = [t.encode() for _, t in pairs]
-    batch = align_pairs(attr, bp, bt)
-    orc = OracleAligner(attr)
+    batch = align_pairs(attr, bp, bt, wildcard=wc)
+    orc = OracleAligner(attr, wc)
     for i, (p, t) in enumerate(pairs):
         o = orc.align(bp[i], bt[i])
         b = batch[i]
@@ -121,3 +122,21 @@ def test_max_steps_batch():
     rng = random.Random(31)
     pairs = [(rand_seq(rng, 80), rand_seq(rng, 80)) for _ in range(4)]
     _compare(dict(span="end-to-end", max_steps=10), pairs)
+
+
+def test_wildcard_near_sequence_ends():
+    """Regression: wildcard must not match sentinel padding (soak-found).
+
+    A text 'N' adjacent to the pattern end previously extended past the
+    pattern boundary, shifting the ends-free termination cell.
+    """
+    kw = dict(distance="levenshtein", span="ends-free",
+              pattern_begin_free=14, pattern_end_free=2,
+              text_begin_free=16, text_end_free=4, wildcard="N")
+    p = "CAAAGCAACCAGTTGCAGAAGAAACTTAGG"
+    t = "CGGCTTAAGAACTAAATATCCTTCAACNGAA"
+    _compare(kw, [(p, t)])
+    # wildcards at the very ends, both sides
+    _compare(dict(wildcard="N", span="end-to-end"),
+             [("ACGTN", "ACGTT"), ("NACGT", "TACGT"),
+              ("ACGT", "ACGTN"), ("NNNN", "ACGT"), ("ACG", "ACGN")])
