@@ -17,7 +17,7 @@ from pywfa_tpu import (
     cigartuples_to_str,
     elide_mismatches_from_cigar,
 )
-from .fasta import read_fasta
+from pywfa_tpu.utils.io import read_fasta
 
 REF_TESTS = "/root/reference/pywfa/tests"
 
