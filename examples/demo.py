@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""pywfa_tpu quick tour: single-pair API, batch API, plotting, packed input.
+
+Run: python examples/demo.py   (CPU or TPU; first call compiles)
+"""
+import numpy as np
+
+from pywfa_tpu import WavefrontAligner, clip_cigartuples
+
+# --- pywfa-compatible single-pair API -----------------------------------
+pattern = "TCTTTACTCGCGCGTTGGAGAAATACAATAGT"
+text = "TCTATACTGCGCGTTTGGAGAAATAAAATAGT"
+a = WavefrontAligner(pattern)
+res = a(text)
+print("score:", res.score)              # -24
+print("cigar:", a.cigarstring)          # 3M1X4M1D7M1I9M1X6M
+print(res.pretty)
+
+# --- dual-affine, ends-free, clipping ------------------------------------
+a2 = WavefrontAligner(distance="affine2p", span="ends-free")
+res2 = a2("GGCCAAAAACCAAAAAA", "AAAAACCTTTTTAAAAAA", clip_cigar=True,
+          min_aligned_bases_left=5, min_aligned_bases_right=5)
+print("clipped:", res2.cigartuples)
+
+# --- batched TPU API ------------------------------------------------------
+from pywfa_tpu.batch import BatchWavefrontAligner
+
+rng = np.random.default_rng(0)
+alpha = np.frombuffer(b"ACGT", np.uint8)
+pats = ["".join(map(chr, alpha[rng.integers(0, 4, 150)])) for _ in range(64)]
+txts = [p[:70] + p[71:] for p in pats]  # one deletion each
+ba = BatchWavefrontAligner(span="end-to-end")
+results = ba.align(pats, txts)
+print("batch scores:", sorted({r.score for r in results}))
+print("example sam cigar:", results[0].sam_cigar)
+
+# --- wavefront heatmap (debug tooling) ------------------------------------
+from pywfa_tpu.utils.plot import plot_alignment
+
+plot = plot_alignment(pattern, text, span="end-to-end")
+print("wavefront heatmap:")
+print(plot.to_text())
