@@ -932,7 +932,10 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
     elif strat & HeuristicStrategy.BANDED_ADAPTIVE:
         wf_len = hi - lo + 1
         max_len = cfg.band_max_k - cfg.band_min_k + 1
-        do = ready & (wf_len >= 4) & (wf_len > max_len)
+        # C resets steps_wait whenever wf_length >= 4, even when the band
+        # needs no adjustment (reference: wavefront_heuristic.c:472-505)
+        ticked = ready & (wf_len >= 4)
+        do = ticked & (wf_len > max_len)
 
         def dist_at(kq):
             idx = jnp.clip(kq - cfg.kmin, 0, cfg.W - 1)
@@ -952,7 +955,7 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
         lo = jnp.where(do, nlo, lo)
         hi = jnp.where(do, nhi, hi)
         acted = acted | do
-        state["h_steps_wait"] = jnp.where(do, cfg.steps_between_cutoffs,
+        state["h_steps_wait"] = jnp.where(ticked, cfg.steps_between_cutoffs,
                                           state["h_steps_wait"])
 
     changed = eligible & ((lo != lo_base) | (hi != hi_base))
