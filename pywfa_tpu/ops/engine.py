@@ -635,8 +635,9 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
 
     # ends-free per-score boundary seeding when match != 0
     # (reference: wavefront_compute.c:124-254)
+    seeded_null = jnp.zeros_like(null_step)
     if (cfg.span == AlignmentSpan.ENDS_FREE) and cfg.match != 0:
-        outs, lo_n, hi_n, choice, null_step = _endsfree_seed(
+        outs, lo_n, hi_n, choice, null_step, seeded_null = _endsfree_seed(
             cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr)
 
     # band overflow check (pre-padding)
@@ -661,8 +662,12 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
             produced = write & (~out_null[comp])
         cm = band & produced[:, None]
         arr = jnp.where(cm, vals, NULL)
-        # trim ends (reference: wavefront_compute.c:571-624)
+        # trim ends (reference: wavefront_compute.c:571-624); the null-step
+        # seeding path performs no trim (no process_ends there)
         tlo, thi = _trim_ends(cfg, arr, lo_n, hi_n, plen, tlen)
+        if comp == M:
+            tlo = jnp.where(seeded_null, lo_n, tlo)
+            thi = jnp.where(seeded_null, hi_n, thi)
         tlo = jnp.where(produced, tlo, 1)
         thi = jnp.where(produced, thi, -1)
         arr = _apply_band(arr, _band_mask(cfg, tlo, thi))
@@ -685,15 +690,27 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
 
 
 def _endsfree_seed(cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr):
-    """Ends-free boundary seeding for match != 0 (reference: compute.c:124-254)."""
+    """Ends-free boundary seeding for match != 0 (reference: compute.c:124-254).
+
+    NOTE: the reference allocates an M wavefront on EVERY match-multiple
+    score while any begin-free slack is configured, even when ek exceeds the
+    frees and no seed is written (wavefront_compute_endsfree_required does
+    not compare ek to the frees; endsfree_allocate_null then produces an
+    empty [0,0]-band wavefront). That phantom wavefront keeps the heuristic
+    cadence ticking, so it must be materialized here too.
+    Returns (outs, lo_n, hi_n, choice, null_step, seeded_null) where
+    seeded_null marks pairs whose wavefront came from the null-step
+    allocation path (no end-trim in the reference).
+    """
     mvals = outs[M]
     need = (s_next % (-cfg.match)) == 0
     if not isinstance(need, jnp.ndarray):
         need = jnp.array(need)
+    # per-pair: any begin-free slack configured at all
+    need = need & ((frees[:, 0] > 0) | (frees[:, 2] > 0))
     ek = s_next // (-cfg.match)
     tb = frees[:, 2] >= ek
     pb = frees[:, 0] >= ek
-    # text-begin seed at k=+ek, offset ek, when stored <= ek
     kcell = karr[None, :]
     at_pk = kcell == ek
     at_nk = kcell == -ek
@@ -704,16 +721,19 @@ def _endsfree_seed(cfg, s_next, outs, lo_n, hi_n, choice, null_step, frees, karr
     mvals = jnp.where(do_t, ek, mvals)
     mvals = jnp.where(do_p, 0, mvals)
     choice = jnp.where(do_t | do_p, jnp.uint8(MSRC_SEED), choice)
-    # widen band to cover the seeds
-    lo_n = jnp.where(seed_p & null_step, -ek,
-                     jnp.where(seed_p, jnp.minimum(lo_n, -ek), lo_n))
-    hi_n = jnp.where(seed_t & null_step, ek,
-                     jnp.where(seed_t, jnp.maximum(hi_n, ek), hi_n))
-    lo_n = jnp.where(null_step & seed_t & ~seed_p, ek, lo_n)
-    hi_n = jnp.where(null_step & seed_p & ~seed_t, -ek, hi_n)
+    # band on the null-step allocation path
+    # (reference: wavefront_compute_endsfree_allocate_null)
+    ns_lo = jnp.where(seed_p, -ek, jnp.where(seed_t, ek, 0))
+    ns_hi = jnp.where(seed_t, ek, jnp.where(seed_p, -ek, 0))
+    # band widening on the regular compute path
+    lo_n = jnp.where(seed_p, jnp.minimum(lo_n, -ek), lo_n)
+    hi_n = jnp.where(seed_t, jnp.maximum(hi_n, ek), hi_n)
+    lo_n = jnp.where(null_step & need, ns_lo, lo_n)
+    hi_n = jnp.where(null_step & need, ns_hi, hi_n)
     outs[M] = mvals
-    null_step = null_step & ~(seed_t | seed_p)
-    return outs, lo_n, hi_n, choice, null_step
+    seeded_null = null_step & need
+    null_step = null_step & ~need
+    return outs, lo_n, hi_n, choice, null_step, seeded_null
 
 
 def _step_compute_edit(cfg, state, plen, tlen, frees, active):

@@ -140,3 +140,25 @@ def test_wildcard_near_sequence_ends():
     _compare(dict(wildcard="N", span="end-to-end"),
              [("ACGTN", "ACGTT"), ("NACGT", "TACGT"),
               ("ACGT", "ACGTN"), ("NNNN", "ACGT"), ("ACG", "ACGN")])
+
+
+def test_endsfree_negative_match_with_xdrop():
+    """Regression (soak-found): with match<0 + ends-free, the reference
+    allocates an (empty) M wavefront on every match-multiple score even when
+    no boundary seed applies, which keeps the heuristic cadence ticking; the
+    engine previously treated those as absent wavefronts, desynchronizing
+    X-drop and losing the optimal path."""
+    kw = dict(distance="affine", span="ends-free", mismatch=6,
+              gap_extension=4, gap_opening=3, match=-1,
+              pattern_begin_free=6, pattern_end_free=0,
+              text_begin_free=5, text_end_free=7, heuristic="X-drop",
+              min_wavefront_length=14, max_distance_threshold=40,
+              steps_between_cutoffs=2, xdrop=10)
+    p = ("TCTTGACAGAAACCTTGTTTAGAGGCTTCCGAGAGTCCAAATCGGGCCGAGATTACGGTTTA"
+         "TACTGCGTGACCGTATA")
+    t = ("GCTTGACAGATACCTTGTTTAGAGACTACCGAGAGTCCAGATTGGGCGGAGGAATACGGTTT"
+         "GTACCGCGTTGACCCGTATCA")
+    _compare(kw, [(p, t)])
+    # sweep a few more shapes of the same family
+    kw2 = dict(kw, heuristic="adaptive", match=-2, steps_between_cutoffs=1)
+    _compare(kw2, [(p, t), (p[:40], t[:50]), (t[:60], p[:30])])
