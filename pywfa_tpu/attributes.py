@@ -215,6 +215,19 @@ def classic_score(penalties: Penalties, plen: int, tlen: int, wf_score: int) -> 
     return wf_score_to_sw_score(swg_match, plen, tlen, wf_score)
 
 
+def classic_score_batch(penalties: Penalties, plens, tlens, wf_scores):
+    """Vectorized classic_score over numpy arrays (identical arithmetic)."""
+    import numpy as _np
+    wf = _np.asarray(wf_scores, dtype=_np.int64)
+    if penalties.distance_metric in (DistanceMetric.INDEL, DistanceMetric.EDIT):
+        return wf
+    swg_match = -penalties.match
+    if swg_match == 0:
+        return -wf
+    return (swg_match * (_np.asarray(plens, dtype=_np.int64)
+                         + _np.asarray(tlens, dtype=_np.int64)) - wf) // 2
+
+
 @dataclasses.dataclass(frozen=True)
 class HeuristicParams:
     """(reference: wavefront_heuristic.h wavefront_heuristic_t)"""

@@ -41,12 +41,25 @@ LCP_TABLE_BYTES_CAP = 3 * 2**30
 
 
 def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int) -> np.ndarray:
-    """[B, L + chunk] int8 tokens, sentinel-padded past each sequence's end."""
+    """[B, L + chunk] int8 tokens, sentinel-padded past each sequence's end.
+
+    Vectorized: one flat copy of the concatenated bytes plus a single fancy
+    scatter (a Python loop over B pairs costs ~15 ms at B=4096).
+    """
     B = len(seqs)
     out = np.full((B, L + chunk), sentinel, dtype=np.int8)
-    for i, s in enumerate(seqs):
-        a = np.frombuffer(s, dtype=np.uint8).astype(np.int8)
-        out[i, : len(a)] = a
+    if B == 0:
+        return out
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+    if (lens == lens[0]).all() and lens[0] == L:
+        out[:, :L] = np.frombuffer(b"".join(seqs), dtype=np.uint8) \
+            .reshape(B, L).view(np.int8)
+        return out
+    flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    rows = np.repeat(np.arange(B), lens)
+    cols = np.arange(flat.size) - np.repeat(starts, lens)
+    out[rows, cols] = flat.view(np.int8)
     return out
 
 
@@ -124,20 +137,28 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
     if native.lib() is None:
         return {}
     idx = np.asarray(clean_idx)
-    pat = np.ascontiguousarray(pat_np[idx]).view(np.uint8)
-    txt = np.ascontiguousarray(txt_np[idx]).view(np.uint8)
-    ev = (end_off[idx] - end_k[idx]).astype(np.int64)
-    eh = end_off[idx].astype(np.int64)
-    trail_i = (tlens[idx] - eh).astype(np.int64)
-    trail_d = (plens[idx] - ev).astype(np.int64)
+    if len(idx) == pat_np.shape[0]:
+        # whole batch clean (the common case): use the arrays as-is, no
+        # fancy-index copies (~15 ms at B=4096)
+        def sel(a):
+            return np.ascontiguousarray(a)
+    else:
+        def sel(a):
+            return np.ascontiguousarray(a[idx])
+    pat = sel(pat_np).view(np.uint8)
+    txt = sel(txt_np).view(np.uint8)
+    ev = (sel(end_off) - sel(end_k)).astype(np.int64)
+    eh = sel(end_off).astype(np.int64)
+    trail_i = (sel(tlens) - eh).astype(np.int64)
+    trail_d = (sel(plens) - ev).astype(np.int64)
     # the op stream is zero-sparse over the full row; scan all entries
     scan_lens = np.full(len(idx), ops_rev.shape[1], dtype=np.int64)
     res = native.match_fill_batch(
-        np.ascontiguousarray(ops_rev[idx]).view(np.uint8),
+        sel(ops_rev).view(np.uint8),
         scan_lens,
-        k_start[idx].astype(np.int64),
-        pat, plens[idx].astype(np.int64),
-        txt, tlens[idx].astype(np.int64),
+        sel(k_start).astype(np.int64),
+        pat, sel(plens).astype(np.int64),
+        txt, sel(tlens).astype(np.int64),
         trail_i, trail_d,
         int(wildcard) if wildcard is not None else -1)
     if res is None:
@@ -161,13 +182,43 @@ PALLAS_TB = 32
 USE_PALLAS = False
 
 
-def _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np):
-    """Dispatch to the fused Pallas loop kernel when eligible, else XLA."""
+_STRICT_ACGT = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _STRICT_ACGT[_b] = _i
+
+
+def pack_tokens(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
+    """Token matrix [B, W] int8 -> fused 2-bit rows [B, ceil(W/4)] uint8.
+
+    Returns None when any in-length byte is not uppercase ACGT (the packed
+    push must round-trip byte-exactly through engine._decode_packed).
+    """
+    codes = _STRICT_ACGT[mat.view(np.uint8)]
+    valid = np.arange(mat.shape[1])[None, :] < lens[:, None]
+    if np.any((codes == 255) & valid):
+        return None
+    codes = np.where(valid, codes, np.uint8(0))
+    padw = (-mat.shape[1]) % 4
+    if padw:
+        codes = np.pad(codes, ((0, 0), (0, padw)))
+    c = codes.reshape(mat.shape[0], -1, 4).astype(np.uint16)
+    return (c[..., 0] | (c[..., 1] << 2)
+            | (c[..., 2] << 4) | (c[..., 3] << 6)).astype(np.uint8)
+
+
+def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
+                plens_np=None, tlens_np=None):
+    """Dispatch to the fused Pallas loop kernel when eligible, else XLA.
+
+    pat_np/txt_np are HOST token matrices; the push strategy is chosen here:
+    one fused array, 2-bit packed when the batch is pure uppercase ACGT
+    (4x fewer bytes over the tunneled host<->TPU link).
+    """
     import jax
     import jax.numpy as jnp
     from .ops.pallas import fused_loop
 
-    B = pat.shape[0]
+    B = pat_np.shape[0]
     force = bool(os.environ.get("PYWFA_FORCE_PALLAS"))
     eligible = (
         (USE_PALLAS or force)
@@ -180,7 +231,20 @@ def _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np):
         and int(np.max(frees_np[:, [0, 2]], initial=0)) < -cfg.kmin - 2
     )
     if not eligible:
-        return E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
+        if plens_np is None:
+            plens_np = np.asarray(plen)
+        if tlens_np is None:
+            tlens_np = np.asarray(tlen)
+        pp = pack_tokens(pat_np, plens_np)
+        pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
+        if pt is not None:
+            fused2 = np.concatenate([pp, pt], axis=1)
+            return E.align_batch_packed(cfg, fused2, plen, tlen, frees,
+                                        max_steps)
+        fused = np.concatenate([pat_np, txt_np], axis=1)
+        return E.align_batch_fused(cfg, fused, plen, tlen, frees, max_steps)
+    pat = jnp.asarray(pat_np)
+    txt = jnp.asarray(txt_np)
     TB = PALLAS_TB
     padB = (-B) % TB
     if padB:
@@ -431,6 +495,23 @@ def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
     return 2 * (S + abs(maxLp - maxLt)) + 2 * pad + 8
 
 
+class _Inflight:
+    """A dispatched batch: device work enqueued, host assembly pending.
+
+    Produced by align_pairs_dispatch, consumed by align_pairs_finish. When
+    the batch resolved eagerly on the host (extension mode, segmented
+    execution), `results` is already set and the device fields are unused.
+    """
+
+    __slots__ = ("results", "attr", "attr0", "cfg", "full_probe", "patterns",
+                 "texts", "wildcard", "plens", "tlens", "pat_np", "txt_np",
+                 "max_steps_i", "scope_full", "at_full_caps", "Lp", "Lt",
+                 "maxLp", "maxLt", "B", "meta_d", "packed_d")
+
+    def __init__(self, results=None):
+        self.results = results
+
+
 def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
                 texts: Sequence[bytes], wildcard: Optional[int] = None,
                 W: Optional[int] = None, S_cap: Optional[int] = None,
@@ -444,8 +525,42 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     through a geometric ladder (compute is proportional to the *reached*
     score, preserving WFA's O(ns+s^2) behavior on easy pairs).
     """
+    return align_pairs_finish(align_pairs_dispatch(
+        attr, patterns, texts, wildcard, W=W, S_cap=S_cap, Lp=Lp, Lt=Lt,
+        _escalated=_escalated))
+
+
+def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
+                       depth: int = 2, **kw):
+    """Pipelined batch alignment: yields one List[BatchResult] per input
+    (patterns, texts) batch, keeping up to `depth` batches in flight so
+    host CIGAR assembly of batch N overlaps device compute + transfers of
+    batches N+1..N+depth (the tunneled-TPU RPC latency hides entirely).
+    """
+    import collections
+    pending = collections.deque()
+    for patterns, texts in batches:
+        pending.append(align_pairs_dispatch(attr, patterns, texts, wildcard,
+                                            **kw))
+        if len(pending) > depth:
+            yield align_pairs_finish(pending.popleft())
+    while pending:
+        yield align_pairs_finish(pending.popleft())
+
+
+def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
+                         texts: Sequence[bytes],
+                         wildcard: Optional[int] = None,
+                         W: Optional[int] = None, S_cap: Optional[int] = None,
+                         Lp: Optional[int] = None, Lt: Optional[int] = None,
+                         _escalated: bool = False) -> _Inflight:
+    """Phase 1 of align_pairs: encode, push, enqueue the device score loop +
+    traceback walk + single packed output transfer. Returns without blocking
+    on the device (JAX async dispatch)."""
     B = len(patterns)
     assert B == len(texts)
+    if B == 0:
+        return _Inflight(results=[])
     plens = np.array([len(p) for p in patterns], dtype=np.int32)
     tlens = np.array([len(t) for t in texts], dtype=np.int32)
     maxLp = int(plens.max()) if B else 0
@@ -467,8 +582,8 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         # WF-extension mode (experimental in the reference,
         # wavefront_align.c:57-63): complete alignments are maxtrim'd to
         # their best-scoring prefix -- exact host path
-        return [_oracle_one(attr, p, t, wildcard)
-                for p, t in zip(patterns, texts)]
+        return _Inflight(results=[_oracle_one(attr, p, t, wildcard)
+                                  for p, t in zip(patterns, texts)])
     # memory modes scale the on-device traceback budget; med/low/ultralow
     # force earlier segmentation (the reference's memory ladder,
     # wavefront_aligner.c:101-122, re-expressed for tensor storage)
@@ -494,8 +609,8 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         # the score cap entirely, so the band must be worst-case wide.
         seg_cfg = dataclasses.replace(cfg, W=max(cfg.W, full_probe.W),
                                       S_cap=full_probe.S_cap)
-        return _align_pairs_segmented(attr, attr0, patterns, texts, wildcard,
-                                      seg_cfg, plens, tlens)
+        return _Inflight(results=_align_pairs_segmented(
+            attr, attr0, patterns, texts, wildcard, seg_cfg, plens, tlens))
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
     if lcp_bytes > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
@@ -503,8 +618,6 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
 
     pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
     txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL)
-    pat = jnp.asarray(pat_np)
-    txt = jnp.asarray(txt_np)
     plen = jnp.asarray(plens)
     tlen = jnp.asarray(tlens)
     form = attr0.form
@@ -522,17 +635,18 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
     else:
         frees_np = np.zeros((B, 4), dtype=np.int32)
     frees = jnp.asarray(frees_np)
-    max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
+    max_steps_i = min(attr0.system.max_alignment_steps, 2**31 - 1)
+    max_steps = jnp.int32(max_steps_i)
 
-    out = _run_engine(cfg, pat, txt, plen, tlen, frees, max_steps, frees_np)
-    results: List[Optional[BatchResult]] = [None] * B
-    pen = attr0.penalties
+    out = _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps,
+                      frees_np, plens_np=plens, tlens_np=tlens)
 
     # pack ALL per-pair outputs into ONE device->host transfer: on tunneled
     # TPU setups each separate pull pays a full RPC round trip. The walk
     # runs unconditionally with the clean-mask computed on device.
     meta_d = jnp.stack([out["status"], out["final_s"],
                         out["end_k"], out["end_off"]])
+    h = _Inflight()
     if scope_full:
         ok_d = out["status"] == E.ST_END_REACHED
         ops_rev_d, n_ops_d, k_start_d, fb_d = E.traceback_walk(
@@ -540,65 +654,108 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
         meta_d = jnp.concatenate([
             meta_d, jnp.stack([n_ops_d, k_start_d,
                                fb_d.astype(jnp.int32)])])
-        packed = jnp.concatenate([
+        h.packed_d = jnp.concatenate([
             jax.lax.bitcast_convert_type(meta_d, jnp.uint8).reshape(-1),
             ops_rev_d.reshape(-1)])
-        packed = np.asarray(packed)
+        h.meta_d = None
+        # start the device->host copy as soon as the result materializes so
+        # the transfer overlaps the next batch's compute (tunneled-TPU RPC)
+        h.packed_d.copy_to_host_async()
+    else:
+        h.meta_d = meta_d
+        h.packed_d = None
+        meta_d.copy_to_host_async()
+    h.attr, h.attr0, h.cfg, h.full_probe = attr, attr0, cfg, full_probe
+    h.patterns, h.texts, h.wildcard = patterns, texts, wildcard
+    h.plens, h.tlens, h.pat_np, h.txt_np = plens, tlens, pat_np, txt_np
+    h.max_steps_i = max_steps_i
+    h.scope_full, h.at_full_caps = scope_full, at_full_caps
+    h.Lp, h.Lt, h.maxLp, h.maxLt, h.B = Lp, Lt, maxLp, maxLt, B
+    return h
+
+
+def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
+    """Phase 2 of align_pairs: pull the packed device output, assemble
+    CIGARs (native match-fill), escalate/fall back the rare tail."""
+    if h.results is not None:
+        return h.results
+    attr, attr0, cfg, full_probe = h.attr, h.attr0, h.cfg, h.full_probe
+    patterns, texts, wildcard = h.patterns, h.texts, h.wildcard
+    plens, tlens, pat_np, txt_np = h.plens, h.tlens, h.pat_np, h.txt_np
+    scope_full, at_full_caps = h.scope_full, h.at_full_caps
+    Lp, Lt, maxLp, maxLt, B = h.Lp, h.Lt, h.maxLp, h.maxLt, h.B
+    max_steps = h.max_steps_i
+    results: List[Optional[BatchResult]] = [None] * B
+    pen = attr0.penalties
+
+    if scope_full:
+        packed = np.asarray(h.packed_d)
         meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
         ops_rev = packed[7 * B * 4:].reshape(B, cfg.S_cap)
         status, final_s, end_k, end_off, n_ops, k_start = meta[:6]
         fb = meta[6] != 0
     else:
-        meta = np.asarray(meta_d)
+        meta = np.asarray(h.meta_d)
         status, final_s, end_k, end_off = meta
         fb = np.zeros(B, dtype=bool)
-
-    clean = status == E.ST_END_REACHED
 
     oracle_idx: List[int] = []
     escalate_idx: List[int] = []
 
     # clean full-CIGAR pairs: batched native match-fill when available
+    clean_np = (status == E.ST_END_REACHED) & ~fb
     native_ops: dict = {}
     if scope_full:
-        clean_idx = [b for b in range(B)
-                     if status[b] == E.ST_END_REACHED and not fb[b]]
+        clean_idx = np.flatnonzero(clean_np).tolist()
         if clean_idx:
             native_ops = _native_fill(cfg, clean_idx, pat_np, txt_np, plens,
                                       tlens, end_k, end_off, ops_rev, n_ops,
                                       k_start, wildcard)
 
+    # vectorized score translation + python-int views (np scalar indexing in
+    # a 4096-iteration loop costs several ms)
+    ev_a = end_off - end_k
+    eh_a = end_off
+    from .attributes import classic_score_batch
+    if scope_full:
+        sc_a = classic_score_batch(pen, ev_a, eh_a, final_s).tolist()
+    else:
+        sc_a = classic_score_batch(pen, plens, tlens, final_s).tolist()
+    status_l = status.tolist()
+    final_s_l = final_s.tolist()
+    ev_l = ev_a.tolist()
+    eh_l = eh_a.tolist()
+    plens_l = plens.tolist()
+    tlens_l = tlens.tolist()
+    fb_l = fb.tolist()
+
     for b in range(B):
-        st = int(status[b])
+        st = status_l[b]
         if st == E.ST_END_REACHED and (not scope_full):
-            s = int(final_s[b])
-            sc = classic_score(pen, int(plens[b]), int(tlens[b]), s)
-            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, "",
-                                     int(plens[b]), int(tlens[b]), s, False)
-        elif st == E.ST_END_REACHED and not fb[b]:
-            s = int(final_s[b])
-            ek = int(end_k[b])
-            eoff = int(end_off[b])
-            ev, eh = eoff - ek, eoff
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc_a[b], "",
+                                     plens_l[b], tlens_l[b], final_s_l[b],
+                                     False)
+        elif st == E.ST_END_REACHED and not fb_l[b]:
+            s = final_s_l[b]
+            ev, eh = ev_l[b], eh_l[b]
             if b in native_ops:
                 ops = native_ops[b]
             else:
                 ops = _match_fill(patterns[b], texts[b], ops_rev[b],
                                   int(n_ops[b]), int(k_start[b]),
-                                  int(plens[b]), int(tlens[b]), wildcard)
+                                  plens_l[b], tlens_l[b], wildcard)
                 # ends-free: trailing free ops, I-block then D-block
                 # (reference: backtrace.c:347-356 writes D's rightmost)
-                if eh < int(tlens[b]):
-                    ops = ops + "I" * (int(tlens[b]) - eh)
-                if ev < int(plens[b]):
-                    ops = ops + "D" * (int(plens[b]) - ev)
-            sc = classic_score(pen, ev, eh, s)
-            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev, eh,
-                                     s, False)
+                if eh < tlens_l[b]:
+                    ops = ops + "I" * (tlens_l[b] - eh)
+                if ev < plens_l[b]:
+                    ops = ops + "D" * (plens_l[b] - ev)
+            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc_a[b], ops, ev,
+                                     eh, s, False)
         elif st == E.ST_MAX_STEPS:
             results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
-                                     -int(max_steps), "", 0, 0,
-                                     int(final_s[b]), False)
+                                     -max_steps, "", 0, 0,
+                                     final_s_l[b], False)
         elif st in (E.ST_OVERFLOW_W, E.ST_OVERFLOW_S) and not at_full_caps:
             escalate_idx.append(b)
         else:

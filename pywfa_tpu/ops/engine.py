@@ -1136,6 +1136,76 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
     return _finish(cfg, state)
 
 
+def fused_widths(cfg) -> Tuple[int, int]:
+    """Token-row widths (pattern, text) of the fused input layout."""
+    return cfg.Lp + cfg.extend_chunk, cfg.Lt + cfg.extend_chunk
+
+
+def packed_widths(cfg) -> Tuple[int, int]:
+    """Byte-row widths (pattern, text) of the 2-bit-packed input layout."""
+    wp, wt = fused_widths(cfg)
+    return -(-wp // 4), -(-wt // 4)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_fused(cfg: EngineConfig, fused, plen, tlen, frees, max_steps):
+    """align_batch with pattern|text token rows in ONE [B, Wp+Wt] array.
+
+    A single host->device array halves the per-transfer RPC overhead on
+    tunneled TPU links (the slice is free inside the compiled graph).
+    """
+    wp, _ = fused_widths(cfg)
+    pat = fused[:, :wp]
+    txt = fused[:, wp:]
+    B = fused.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state)
+
+
+def _decode_packed(cfg, packed, plen, tlen):
+    """[B, Pp+Pt] uint8 2-bit DNA -> the exact int8 token rows encode_batch
+    would produce (ACGT bytes up to each length, sentinel past it).
+
+    Device-side analog of the reference's packed-2-bits decode
+    (reference: wavefront_sequences.c:102-140); the sentinel re-padding
+    replaces its EOS trick since lengths are explicit here.
+    """
+    pp, _ = packed_widths(cfg)
+    wp, wt = fused_widths(cfg)
+
+    def dec(block, width, length, pad):
+        B = block.shape[0]
+        b32 = block.astype(jnp.int32)[:, :, None]
+        codes = (b32 >> (2 * jnp.arange(4, dtype=jnp.int32))) & 3
+        codes = codes.reshape(B, -1)[:, :width]
+        # arithmetic 4-way select beats a gather on the VPU
+        tok = jnp.where(
+            codes == 0, ord("A"),
+            jnp.where(codes == 1, ord("C"),
+                      jnp.where(codes == 2, ord("G"), ord("T"))),
+        ).astype(jnp.int8)
+        iota = jnp.arange(width, dtype=jnp.int32)[None, :]
+        return jnp.where(iota < length[:, None], tok, jnp.int8(pad))
+
+    pat = dec(packed[:, :pp], wp, plen, PATTERN_PAD)
+    txt = dec(packed[:, pp:], wt, tlen, TEXT_PAD)
+    return pat, txt
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_packed(cfg: EngineConfig, packed, plen, tlen, frees,
+                       max_steps):
+    """align_batch from fused 2-bit-packed DNA rows (4x smaller push)."""
+    plen = plen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    pat, txt = _decode_packed(cfg, packed, plen, tlen)
+    B = packed.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch_start(cfg: EngineConfig, pat, txt, plen, tlen, frees,
                       max_steps):
