@@ -467,6 +467,24 @@ class BatchWavefrontAligner:
         return align_pairs(attr, bp, bt, wildcard=wc,
                            W=self._W, S_cap=self._S_cap)
 
+    def align_stream(self, batches, depth: int = 3):
+        """Pipelined align over an iterable of (patterns, texts[, kwargs])
+        batches; yields one List[BatchResult] per input batch. Keeps
+        `depth` batches in flight (see align_pairs_stream)."""
+        attr = self._api._attributes()
+        wc = self._api._bwildcard if self._api._wildcard else None
+
+        def to_bytes(seqs):
+            return [s.upper().encode("ascii") if isinstance(s, str) else s
+                    for s in seqs]
+
+        def gen():
+            for item in batches:
+                yield (to_bytes(item[0]), to_bytes(item[1])) + tuple(item[2:])
+
+        return align_pairs_stream(attr, gen(), wildcard=wc, depth=depth,
+                                  W=self._W, S_cap=self._S_cap)
+
     def align_packed2bits(self, packed_patterns, pattern_lengths,
                           packed_texts, text_lengths) -> List[BatchResult]:
         """Align 2-bit-packed DNA pairs (analog of the reference's
@@ -531,17 +549,23 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
 
 
 def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
-                       depth: int = 2, **kw):
+                       depth: int = 3, **kw):
     """Pipelined batch alignment: yields one List[BatchResult] per input
-    (patterns, texts) batch, keeping up to `depth` batches in flight so
-    host CIGAR assembly of batch N overlaps device compute + transfers of
-    batches N+1..N+depth (the tunneled-TPU RPC latency hides entirely).
+    batch, keeping up to `depth` batches in flight so host CIGAR assembly
+    of batch N overlaps device compute + transfers of batches N+1..N+depth
+    (the tunneled-TPU RPC latency hides entirely).
+
+    Each input item is (patterns, texts) or (patterns, texts, kwargs) --
+    the per-batch kwargs (e.g. bucketed Lp/Lt) override the stream-level
+    **kw for that dispatch.
     """
     import collections
     pending = collections.deque()
-    for patterns, texts in batches:
+    for item in batches:
+        patterns, texts = item[0], item[1]
+        bkw = dict(kw, **item[2]) if len(item) > 2 else kw
         pending.append(align_pairs_dispatch(attr, patterns, texts, wildcard,
-                                            **kw))
+                                            **bkw))
         if len(pending) > depth:
             yield align_pairs_finish(pending.popleft())
     while pending:

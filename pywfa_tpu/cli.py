@@ -90,18 +90,27 @@ def cmd_align(args) -> int:
     t0 = time.time()
     n_done = 0
     results = [None] * len(bp)
+    # pipelined execution: batches of up to --batch-size per length bucket,
+    # several in flight so host CIGAR assembly overlaps device compute
+    chunks = []
     for (lp, lt), idxs in sorted(groups.items()):
         for start in range(0, len(idxs), args.batch_size):
             chunk = idxs[start:start + args.batch_size]
-            rs = ba.align([bp[i].decode() for i in chunk],
-                          [bt[i].decode() for i in chunk])
-            for i, r in zip(chunk, rs):
-                results[i] = r
-            n_done += len(chunk)
-            if args.verbose:
-                print(f"# bucket ({lp},{lt}): {n_done}/{len(bp)} "
-                      f"({n_done/(time.time()-t0):.0f} pairs/s)",
-                      file=sys.stderr)
+            chunks.append(((lp, lt), chunk))
+
+    def gen():
+        for (lp, lt), chunk in chunks:
+            yield ([bp[i] for i in chunk], [bt[i] for i in chunk],
+                   dict(Lp=lp, Lt=lt))
+
+    for ((lp, lt), chunk), rs in zip(chunks, ba.align_stream(gen())):
+        for i, r in zip(chunk, rs):
+            results[i] = r
+        n_done += len(chunk)
+        if args.verbose:
+            print(f"# bucket ({lp},{lt}): {n_done}/{len(bp)} "
+                  f"({n_done/(time.time()-t0):.0f} pairs/s)",
+                  file=sys.stderr)
     for i, r in enumerate(results):
         if args.format == "tsv":
             _emit_tsv(out, pats[i].name, txts[i].name, r)
