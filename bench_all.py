@@ -83,6 +83,27 @@ def main():
     report("batch4096_150bp_affine_fullcigar_e2e", dt, 4096,
            4096 * 150 * 150, "(incl. host CIGAR build)")
 
+    # 2b. same workload, pipelined stream (the production throughput path:
+    # host CIGAR assembly of batch N overlaps device compute of N+1..N+3)
+    from pywfa_tpu.batch import align_pairs_stream
+    NB = 8
+    stream_batches = [make_pairs(np.random.default_rng(s), 4096, 150)
+                      for s in range(NB)]
+
+    def streamed():
+        n = 0
+        for rs in align_pairs_stream(attr, iter(stream_batches), depth=3,
+                                     W=128, S_cap=96):
+            n += sum(1 for r in rs if r.status == 0)
+        return n
+    n_ok = streamed()  # warm
+    t0 = time.time()
+    n_ok = streamed()
+    dt = (time.time() - t0) / NB
+    assert n_ok == NB * 4096, n_ok
+    report("stream8x4096_150bp_affine_fullcigar", dt, 4096,
+           4096 * 150 * 150, "(pipelined, incl. host CIGAR build)")
+
     # 3. affine2p ends-free + clip
     attr2p = WavefrontAligner(backend="numpy", distance="affine2p",
                               span="ends-free")._attributes()
