@@ -1,0 +1,149 @@
+"""Pallas kernel: per-diagonal LCP run-length table, H-major layout.
+
+R[b, h, w] = number of consecutive matching characters along diagonal
+k_w = kmin + w starting at text position h (comparing pattern[h-k_w+j]
+vs text[h+j]) -- the same table engine._build_lcp_table produces, but
+transposed to [B, Ltp, W] and built in one VMEM-resident backward scan:
+
+    r(h) = eq(h) ? r(h+1) + 1 : 0
+
+The XLA formulation needs a materialized skewed pattern tensor plus a
+reverse cummin over the minor axis (~15 ms at B=4096, W=128, L=150 on
+v5e -- reduce_window lowering); this kernel reads the two 2-D sequence
+rows and writes the table once (HBM-bound on the 87 MB output).
+
+The per-diagonal pattern window trick: with patrev = flip(patpad),
+pattern[h - k_w] = patrev[Np-1-c0-h + w], so each h step needs ONE
+lane-shifted window of patrev -- no per-lane gather, no skew tensor.
+Mosaic requires 128-aligned dynamic lane offsets, so the scan runs in
+128-position blocks: per block, one aligned load of a [TB, W+128]
+pattern window and a [TB, 128] text slab, then a fully unrolled inner
+loop whose window slices are static lane rotations.
+(Reference analog: the AVX2 gather kernel, wavefront_extend_kernels_avx.c:
+89-165; this is its TPU formulation with the gather turned into a slide.)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# must match ops.engine
+PATTERN_PAD = 1
+TEXT_PAD = 2
+
+_HB = 128  # h-block: the TPU lane alignment quantum
+
+# VMEM budget for one tile's output block [TB, Ltp_pad, W]
+_VMEM_OUT_BYTES = 4 * 2**20
+
+
+def supported(Ltp: int, W: int, out_bytes: int) -> bool:
+    """Whole-row scan must fit VMEM with at least 8 batch rows per tile."""
+    Lp128 = -(-Ltp // _HB) * _HB
+    return 8 * Lp128 * W * out_bytes <= _VMEM_OUT_BYTES and W % _HB == 0
+
+
+def _kernel(Ltp_pad, W, c0, Np, wildcard, out_dt,
+            patrev_ref, txt_ref, out_ref, buf_ref):
+    TB = txt_ref.shape[0]
+    nb = Ltp_pad // _HB
+
+    def blk_body(j, r):
+        blk = nb - 1 - j
+        # base is provably 128-aligned: (Np - c0) % 128 == 0 (wrapper pads)
+        base = pl.multiple_of(Np - c0 - _HB - blk * _HB, _HB)
+        pwin = patrev_ref[:, pl.ds(base, W + _HB)].astype(jnp.int32)
+        twin = txt_ref[:, pl.ds(pl.multiple_of(blk * _HB, _HB), _HB)] \
+            .astype(jnp.int32)
+        for hl in range(_HB - 1, -1, -1):
+            pv = jax.lax.slice_in_dim(pwin, _HB - 1 - hl,
+                                      _HB - 1 - hl + W, axis=1)
+            tc = jax.lax.slice_in_dim(twin, hl, hl + 1, axis=1)
+            eq = pv == tc  # [TB, W] via minor-dim broadcast of [TB, 1]
+            if wildcard >= 0:
+                # wildcard matches real characters but never the sentinels
+                # (identical to engine._build_lcp_table's masking)
+                eq = (eq | (pv == wildcard) | (tc == wildcard)) \
+                    & (pv != PATTERN_PAD) & (tc != TEXT_PAD)
+            r = jnp.where(eq, r + 1, 0)
+            buf_ref[:, hl, :] = r.astype(out_dt)
+        out_ref[:, pl.ds(pl.multiple_of(blk * _HB, _HB), _HB), :] = \
+            buf_ref[:, :, :]
+        return r
+
+    jax.lax.fori_loop(0, nb, blk_body, jnp.zeros((TB, W), jnp.int32),
+                      unroll=False)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def build_lcp_table_hmajor(W: int, kmin: int, wildcard: int, interpret: bool,
+                           pat, txt):
+    """[B, Ltp, W] run-length table from padded token rows.
+
+    pat: [B, Lpp] int8 (PATTERN_PAD-padded), txt: [B, Ltp] int8
+    (TEXT_PAD-padded). Output dtype: uint8 when runs fit, else int16.
+    """
+    B, Lpp = pat.shape
+    Ltp = txt.shape[1]
+    Ltp_pad = -(-Ltp // _HB) * _HB
+    lead = max(0, kmin + W - 1)
+    tail = max(0, Ltp_pad - Lpp - kmin) + 1
+    c0 = lead - kmin
+    if c0 < W:
+        # block 0's window load reaches base + W + HB = Np + (W - c0);
+        # grow the lead so every block load stays in bounds
+        lead += W - c0
+        c0 = lead - kmin
+    patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
+                     constant_values=np.int8(PATTERN_PAD))
+    # enforce (Np - c0) % 128 == 0 so every block load is lane-aligned
+    extra = (-(patpad.shape[1] - c0)) % _HB
+    if extra:
+        patpad = jnp.pad(patpad, ((0, 0), (0, extra)),
+                         constant_values=np.int8(PATTERN_PAD))
+    Np = patpad.shape[1]
+    # window [Np-c0-HB-blk*HB, +W+HB] must stay in bounds for all blocks:
+    # start_min = Np - c0 - Ltp_pad >= 0 and start_max + W + HB <= Np
+    assert (Np - c0) % _HB == 0 and c0 + Ltp_pad <= Np and c0 >= W, \
+        (c0, W, Ltp_pad, Np)
+    patrev = jnp.flip(patpad, axis=1)
+    txt_p = jnp.pad(txt, ((0, 0), (0, Ltp_pad - Ltp)),
+                    constant_values=np.int8(TEXT_PAD)) \
+        if Ltp_pad != Ltp else txt
+
+    out_dt = jnp.uint8 if Ltp < 250 else jnp.int16
+    ob = jnp.dtype(out_dt).itemsize
+    # largest power-of-two tile within the VMEM budget; pad B up to a
+    # multiple (pad rows compute garbage runs that are sliced off)
+    bound = max(8, min(B, _VMEM_OUT_BYTES // max(1, Ltp_pad * W * ob)))
+    TB = 1 << (bound.bit_length() - 1)
+    padB = (-B) % TB
+    if padB:
+        patrev = jnp.pad(patrev, ((0, padB), (0, 0)),
+                         constant_values=np.int8(PATTERN_PAD))
+        txt_p = jnp.pad(txt_p, ((0, padB), (0, 0)),
+                        constant_values=np.int8(TEXT_PAD))
+    Bp = B + padB
+
+    kernel = functools.partial(_kernel, Ltp_pad, W, c0, Np, wildcard, out_dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Np), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ltp_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, Ltp_pad, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Ltp_pad, W), out_dt),
+        scratch_shapes=[pltpu.VMEM((TB, _HB, W), out_dt)],
+        interpret=interpret,
+    )(patrev, txt_p)
+    return out[:B, :Ltp]

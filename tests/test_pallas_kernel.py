@@ -59,3 +59,38 @@ def test_endsfree_matches_xla():
     ]
     _run_both(pairs, "ends-free")
     _run_both(pairs, "ends-free", frees_row=(2, 2, 2, 2))
+
+
+def test_lcp_table_hmajor_matches_xla_builder():
+    """The Pallas H-major LCP builder (interpret mode on CPU) must equal
+    the XLA skew+cummin builder transposed, incl. wildcards, mixed
+    lengths, and the sentinel region."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pywfa_tpu import batch as BT
+    from pywfa_tpu.ops import engine as E
+    from pywfa_tpu.ops.pallas import lcp_table as LT
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.attributes import validate_alignment
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    al = np.frombuffer(b"ACGTN", np.uint8)
+    B, L = 9, 37
+    pats = [al[rng.integers(0, 5, rng.integers(5, L + 1))].tobytes()
+            for _ in range(B)]
+    txts = [al[rng.integers(0, 5, rng.integers(5, L + 1))].tobytes()
+            for _ in range(B)]
+    attr = validate_alignment(
+        WavefrontAligner(backend="numpy", span="end-to-end")._attributes(),
+        L, L)
+    cfg = E.full_config(attr, L, L, W=64, S_cap=64)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(BT.encode_batch(pats, cfg.Lp, C, BT.PATTERN_SENTINEL))
+    txt = jnp.asarray(BT.encode_batch(txts, cfg.Lt, C, BT.TEXT_SENTINEL))
+    for wc in (-1, ord("N")):
+        c = dataclasses.replace(cfg, wildcard=wc)
+        ref = np.asarray(E._build_lcp_table(c, pat, txt))
+        got = np.asarray(LT.build_lcp_table_hmajor(
+            c.W, c.kmin, wc, True, pat, txt))
+        np.testing.assert_array_equal(got.transpose(0, 2, 1), ref)
