@@ -372,7 +372,7 @@ def build_lcp_table(cfg: EngineConfig, pat, txt):
 
 
 def _build_lcp_table_h(cfg: EngineConfig, pat, txt):
-    """H-major LCP table R[b, h, w] (see ops.pallas.lcp_table).
+    """L-major LCP table R[h, b, w] (see ops.pallas.lcp_table).
 
     On TPU the table is built by a fused Pallas backward scan (one pass,
     HBM-bound); elsewhere (or when a tile would overflow VMEM) it falls
@@ -384,24 +384,24 @@ def _build_lcp_table_h(cfg: EngineConfig, pat, txt):
     if jax.default_backend() != "cpu" and LT.supported(Ltp, cfg.W, dt):
         return LT.build_lcp_table_hmajor(cfg.W, cfg.kmin, cfg.wildcard,
                                          False, pat, txt)
-    return jnp.swapaxes(_build_lcp_table(cfg, pat, txt), 1, 2)
+    return jnp.transpose(_build_lcp_table(cfg, pat, txt), (2, 0, 1))
 
 
 def _extend_band_lcp_h(cfg: EngineConfig, lcp_h, tlen, off, band_mask):
-    """Extension via the H-major LCP table: R[b, h, w] at h = off[b, w].
+    """Extension via the L-major LCP table: R[h, b, w] at h = off[b, w].
 
     The lookup streams the table once per step as a one-hot masked
-    reduction over the sublane (h) axis -- TPU has no fast vector gather
+    reduction over the leading (h) axis -- TPU has no fast vector gather
     (measured 4.5x slower end-to-end), but the one-hot stream runs at HBM
-    bandwidth and the reduction happens across sublanes, not lanes.
+    bandwidth and the reduction never crosses lanes.
     """
-    Ltp = lcp_h.shape[1]
+    Ltp = lcp_h.shape[0]
     valid = band_mask & (off >= 0) & (off <= tlen[:, None])
     idx = jnp.clip(off, 0, Ltp - 1)
     it = jnp.int16 if Ltp < 32000 else jnp.int32
-    hidx = jnp.arange(Ltp, dtype=it)[None, :, None]
-    hit = hidx == idx[:, None, :].astype(it)
-    run = jnp.sum(jnp.where(hit, lcp_h, lcp_h.dtype.type(0)), axis=1,
+    hidx = jnp.arange(Ltp, dtype=it)[:, None, None]
+    hit = hidx == idx[None, :, :].astype(it)
+    run = jnp.sum(jnp.where(hit, lcp_h, lcp_h.dtype.type(0)), axis=0,
                   dtype=jnp.int32)
     return jnp.where(valid, off + run, off)
 
@@ -1396,11 +1396,28 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     """
     B = choices.shape[1]
     step = _walk_step_fn(cfg, B)
-    levels = jnp.arange(cfg.S_cap, dtype=jnp.int32)
-    init = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
-            jnp.zeros((B,), bool))
-    (s_f, k_f, comp_f, act_f, fallback), ops_fwd = jax.lax.scan(
-        step, init, (levels, choices), reverse=True)
+    carry0 = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
+              jnp.zeros((B,), bool))
+    # walk as an early-exit loop from the highest reached score downward:
+    # levels above max(final_s) hold no ops, and most batches finish at a
+    # small fraction of S_cap (a full reverse scan pays for every level)
+    lvl0 = jnp.max(jnp.where(ok, final_s, 0))
+    ops0 = jnp.zeros((cfg.S_cap, B), jnp.uint8)
+
+    def cond(c):
+        lvl, carry, _ = c
+        return (lvl >= 0) & carry[3].any()
+
+    def body(c):
+        lvl, carry, ops = c
+        ch = jax.lax.dynamic_index_in_dim(choices, lvl, axis=0,
+                                          keepdims=False)
+        carry, emit = step(carry, (lvl, ch))
+        ops = jax.lax.dynamic_update_index_in_dim(ops, emit, lvl, axis=0)
+        return lvl - 1, carry, ops
+
+    _, (s_f, k_f, comp_f, act_f, fallback), ops_fwd = jax.lax.while_loop(
+        cond, body, (lvl0, carry0, ops0))
     # still active after all levels -> inconsistent chain
     fallback = fallback | act_f
     n_ops = jnp.sum((ops_fwd != 0).astype(jnp.int32), axis=0)

@@ -1,9 +1,9 @@
-"""Pallas kernel: per-diagonal LCP run-length table, H-major layout.
+"""Pallas kernel: per-diagonal LCP run-length table, L-major layout.
 
-R[b, h, w] = number of consecutive matching characters along diagonal
+R[h, b, w] = number of consecutive matching characters along diagonal
 k_w = kmin + w starting at text position h (comparing pattern[h-k_w+j]
-vs text[h+j]) -- the same table engine._build_lcp_table produces, but
-transposed to [B, Ltp, W] and built in one VMEM-resident backward scan:
+vs text[h+j]) -- the same table engine._build_lcp_table produces, laid
+out [Ltp, B, W] and built in one VMEM-resident backward scan:
 
     r(h) = eq(h) ? r(h+1) + 1 : 0
 
@@ -16,11 +16,13 @@ The per-diagonal pattern window trick: with patrev = flip(patpad),
 pattern[h - k_w] = patrev[Np-1-c0-h + w], so each h step needs ONE
 lane-shifted window of patrev -- no per-lane gather, no skew tensor.
 Mosaic requires 128-aligned dynamic lane offsets, so the scan runs in
-128-position blocks: per block, one aligned load of a [TB, W+128]
-pattern window and a [TB, 128] text slab, then a fully unrolled inner
-loop whose window slices are static lane rotations.
-(Reference analog: the AVX2 gather kernel, wavefront_extend_kernels_avx.c:
-89-165; this is its TPU formulation with the gather turned into a slide.)
+128-position blocks (the minor grid dimension, mapped descending so the
+run-length carry flows across blocks through scratch); within a block
+the window slices are static lane rotations, and each h writes one full
+[B-tile, W] row of the output block -- aligned tile stores, no
+read-modify-write. (Reference analog: the AVX2 gather kernel,
+wavefront_extend_kernels_avx.c:89-165; this is its TPU formulation with
+the gather turned into a slide.)
 """
 from __future__ import annotations
 
@@ -38,52 +40,48 @@ TEXT_PAD = 2
 
 _HB = 128  # h-block: the TPU lane alignment quantum
 
-# VMEM budget for one tile's output block [TB, Ltp_pad, W]
+# VMEM budget for one grid step's output block [HB, TB, W]
 _VMEM_OUT_BYTES = 4 * 2**20
 
 
 def supported(Ltp: int, W: int, out_bytes: int) -> bool:
-    """Whole-row scan must fit VMEM with at least 8 batch rows per tile."""
-    Lp128 = -(-Ltp // _HB) * _HB
-    return 8 * Lp128 * W * out_bytes <= _VMEM_OUT_BYTES and W % _HB == 0
+    """One [HB, TB, W] block must fit VMEM with >= 8 batch rows per tile."""
+    return 8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES and W % _HB == 0
 
 
-def _kernel(Ltp_pad, W, c0, Np, wildcard, out_dt,
-            patrev_ref, txt_ref, out_ref, buf_ref):
-    TB = txt_ref.shape[0]
-    nb = Ltp_pad // _HB
+def _kernel(nb, W, c0, Np, wildcard, out_dt,
+            patrev_ref, txt_ref, out_ref, r_ref):
+    j = pl.program_id(1)
+    blk = nb - 1 - j
 
-    def blk_body(j, r):
-        blk = nb - 1 - j
-        # base is provably 128-aligned: (Np - c0) % 128 == 0 (wrapper pads)
-        base = pl.multiple_of(Np - c0 - _HB - blk * _HB, _HB)
-        pwin = patrev_ref[:, pl.ds(base, W + _HB)].astype(jnp.int32)
-        twin = txt_ref[:, pl.ds(pl.multiple_of(blk * _HB, _HB), _HB)] \
-            .astype(jnp.int32)
-        for hl in range(_HB - 1, -1, -1):
-            pv = jax.lax.slice_in_dim(pwin, _HB - 1 - hl,
-                                      _HB - 1 - hl + W, axis=1)
-            tc = jax.lax.slice_in_dim(twin, hl, hl + 1, axis=1)
-            eq = pv == tc  # [TB, W] via minor-dim broadcast of [TB, 1]
-            if wildcard >= 0:
-                # wildcard matches real characters but never the sentinels
-                # (identical to engine._build_lcp_table's masking)
-                eq = (eq | (pv == wildcard) | (tc == wildcard)) \
-                    & (pv != PATTERN_PAD) & (tc != TEXT_PAD)
-            r = jnp.where(eq, r + 1, 0)
-            buf_ref[:, hl, :] = r.astype(out_dt)
-        out_ref[:, pl.ds(pl.multiple_of(blk * _HB, _HB), _HB), :] = \
-            buf_ref[:, :, :]
-        return r
+    @pl.when(j == 0)
+    def _init():
+        r_ref[:, :] = jnp.zeros_like(r_ref)
 
-    jax.lax.fori_loop(0, nb, blk_body, jnp.zeros((TB, W), jnp.int32),
-                      unroll=False)
+    # base is provably 128-aligned: (Np - c0) % 128 == 0 (wrapper pads)
+    base = pl.multiple_of(Np - c0 - _HB - blk * _HB, _HB)
+    pwin = patrev_ref[:, pl.ds(base, W + _HB)].astype(jnp.int32)
+    twin = txt_ref[:, :].astype(jnp.int32)  # [TB, HB] block
+    r = r_ref[:, :]
+    for hl in range(_HB - 1, -1, -1):
+        pv = jax.lax.slice_in_dim(pwin, _HB - 1 - hl, _HB - 1 - hl + W,
+                                  axis=1)
+        tc = jax.lax.slice_in_dim(twin, hl, hl + 1, axis=1)
+        eq = pv == tc  # [TB, W] via minor-dim broadcast of [TB, 1]
+        if wildcard >= 0:
+            # wildcard matches real characters but never the sentinels
+            # (identical to engine._build_lcp_table's masking)
+            eq = (eq | (pv == wildcard) | (tc == wildcard)) \
+                & (pv != PATTERN_PAD) & (tc != TEXT_PAD)
+        r = jnp.where(eq, r + 1, 0)
+        out_ref[hl, :, :] = r.astype(out_dt)
+    r_ref[:, :] = r
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def build_lcp_table_hmajor(W: int, kmin: int, wildcard: int, interpret: bool,
                            pat, txt):
-    """[B, Ltp, W] run-length table from padded token rows.
+    """[Ltp, B, W] run-length table from padded token rows.
 
     pat: [B, Lpp] int8 (PATTERN_PAD-padded), txt: [B, Ltp] int8
     (TEXT_PAD-padded). Output dtype: uint8 when runs fit, else int16.
@@ -120,7 +118,7 @@ def build_lcp_table_hmajor(W: int, kmin: int, wildcard: int, interpret: bool,
     ob = jnp.dtype(out_dt).itemsize
     # largest power-of-two tile within the VMEM budget; pad B up to a
     # multiple (pad rows compute garbage runs that are sliced off)
-    bound = max(8, min(B, _VMEM_OUT_BYTES // max(1, Ltp_pad * W * ob)))
+    bound = max(8, min(B, _VMEM_OUT_BYTES // max(1, _HB * W * ob)))
     TB = 1 << (bound.bit_length() - 1)
     padB = (-B) % TB
     if padB:
@@ -129,21 +127,27 @@ def build_lcp_table_hmajor(W: int, kmin: int, wildcard: int, interpret: bool,
         txt_p = jnp.pad(txt_p, ((0, padB), (0, 0)),
                         constant_values=np.int8(TEXT_PAD))
     Bp = B + padB
+    nb = Ltp_pad // _HB
 
-    kernel = functools.partial(_kernel, Ltp_pad, W, c0, Np, wildcard, out_dt)
+    kernel = functools.partial(_kernel, nb, W, c0, Np, wildcard, out_dt)
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // TB,),
+        # minor grid dim walks h-blocks; index maps reverse it so the scan
+        # runs high-h -> low-h with the carry in scratch
+        grid=(Bp // TB, nb),
         in_specs=[
-            pl.BlockSpec((TB, Np), lambda i: (i, 0),
+            pl.BlockSpec((TB, Np), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Ltp_pad), lambda i: (i, 0),
+            pl.BlockSpec((TB, _HB), lambda i, j, nb=nb: (i, nb - 1 - j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, Ltp_pad, W), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_HB, TB, W),
+                               lambda i, j, nb=nb: (nb - 1 - j, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, Ltp_pad, W), out_dt),
-        scratch_shapes=[pltpu.VMEM((TB, _HB, W), out_dt)],
+        out_shape=jax.ShapeDtypeStruct((Ltp_pad, Bp, W), out_dt),
+        scratch_shapes=[pltpu.VMEM((TB, W), jnp.int32)],
         interpret=interpret,
     )(patrev, txt_p)
-    return out[:B, :Ltp]
+    if Ltp_pad != Ltp or padB:
+        out = out[:Ltp, :B]
+    return out

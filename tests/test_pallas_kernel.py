@@ -93,4 +93,4 @@ def test_lcp_table_hmajor_matches_xla_builder():
         ref = np.asarray(E._build_lcp_table(c, pat, txt))
         got = np.asarray(LT.build_lcp_table_hmajor(
             c.W, c.kmin, wc, True, pat, txt))
-        np.testing.assert_array_equal(got.transpose(0, 2, 1), ref)
+        np.testing.assert_array_equal(got.transpose(1, 2, 0), ref)
