@@ -27,6 +27,14 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        src = os.path.join(_HERE, "wfa_native.cpp")
+        return os.path.getmtime(src) > os.path.getmtime(_SO)
+    except OSError:
+        return True
+
+
 def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None:
@@ -34,8 +42,9 @@ def lib() -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         L = ctypes.CDLL(_SO)
     except OSError:
@@ -43,6 +52,8 @@ def lib() -> Optional[ctypes.CDLL]:
     c_u8p = ctypes.POINTER(ctypes.c_uint8)
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
+    if not hasattr(L, "wfa_pack2_batch"):
+        return None  # stale .so without the current symbol set
     L.wfa_match_fill_batch.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p,
         c_u8p, ctypes.c_int64, c_i64p,
@@ -55,6 +66,9 @@ def lib() -> Optional[ctypes.CDLL]:
     L.wfa_rle.argtypes = [c_u8p, ctypes.c_int64, c_i32p, c_i32p,
                           ctypes.c_int64]
     L.wfa_rle.restype = ctypes.c_int64
+    L.wfa_pack2_batch.argtypes = [c_u8p, ctypes.c_int64, ctypes.c_int64,
+                                  c_i64p, c_u8p, ctypes.c_int64]
+    L.wfa_pack2_batch.restype = ctypes.c_int64
     _lib = L
     return _lib
 
@@ -68,10 +82,11 @@ def match_fill_batch(ops_rev: np.ndarray, n_ops: np.ndarray,
                      txt: np.ndarray, tlens: np.ndarray,
                      trail_i: np.ndarray, trail_d: np.ndarray,
                      wildcard: int) -> Optional[tuple]:
-    """Batched match-fill; returns (ops_u8 [B, Lmax], lens [B]) or None.
+    """Batched match-fill; returns (ascii_ops [B, Lmax], lens [B]) or None.
 
-    All array args must be C-contiguous with the documented dtypes:
-    ops_rev/pat/txt uint8 2-D; the rest int64 1-D.
+    Output rows are ASCII op chars (M/I/D/X). All array args must be
+    C-contiguous with the documented dtypes: ops_rev/pat/txt uint8 2-D;
+    the rest int64 1-D.
     """
     L = lib()
     if L is None:
@@ -107,3 +122,24 @@ def rle(ops: np.ndarray):
     if m < 0:
         return None
     return out_ops[:m], out_lens[:m]
+
+
+def pack2_batch(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
+    """Fused 2-bit pack of a [B, Wm] int8/uint8 token matrix.
+
+    Returns [B, ceil(Wm/4)] uint8, or None when the lib is unavailable OR
+    any in-length byte is not uppercase ACGT (caller falls back).
+    """
+    L = lib()
+    if L is None:
+        return None
+    B, Wm = mat.shape
+    Wout = -(-Wm // 4)
+    out = np.empty((B, Wout), dtype=np.uint8)
+    rc = L.wfa_pack2_batch(
+        _ptr(mat.view(np.uint8), ctypes.c_uint8), B, Wm,
+        _ptr(np.ascontiguousarray(lens, dtype=np.int64), ctypes.c_int64),
+        _ptr(out, ctypes.c_uint8), Wout)
+    if rc != 0:
+        return None
+    return out

@@ -115,7 +115,8 @@ int64_t wfa_match_fill(
 //
 //   ops_rev:   [B, ops_stride] uint8
 //   pat/txt:   [B, pat_stride] / [B, txt_stride] uint8 (row-major, padded)
-//   out:       [B, out_stride] uint8; out_lens: [B] int64
+//   out:       [B, out_stride] uint8 ASCII op chars (M/I/D/X);
+//   out_lens:  [B] int64
 //
 // Pairs with n_ops[b] < 0 are skipped (out_lens[b] = -1).
 void wfa_match_fill_batch(
@@ -126,18 +127,60 @@ void wfa_match_fill_batch(
     const int64_t* trail_i, const int64_t* trail_d,
     int32_t wildcard, int64_t B,
     uint8_t* out, int64_t out_stride, int64_t* out_lens) {
+    uint8_t ascii[256];
+    memset(ascii, '?', sizeof(ascii));
+    ascii[OP_M] = 'M';
+    ascii[OP_I] = 'I';
+    ascii[OP_D] = 'D';
+    ascii[OP_X] = 'X';
     for (int64_t b = 0; b < B; ++b) {
         if (n_ops[b] < 0) {
             out_lens[b] = -1;
             continue;
         }
-        out_lens[b] = wfa_match_fill(
+        uint8_t* row = out + b * out_stride;
+        const int64_t n = wfa_match_fill(
             ops_rev + b * ops_stride, n_ops[b], k_start[b],
             pat + b * pat_stride, plens[b],
             txt + b * txt_stride, tlens[b],
             wildcard, trail_i[b], trail_d[b],
-            out + b * out_stride, out_stride);
+            row, out_stride);
+        out_lens[b] = n;
+        for (int64_t i = 0; i < n; ++i) row[i] = ascii[row[i]];
     }
+}
+
+// Pack a [B, Wm] token matrix into fused 2-bit rows [B, ceil(Wm/4)]
+// (A=0, C=1, G=2, T=3, LSB-first -- the layout engine._decode_packed
+// expects). Bytes past lens[b] pack as 0. Returns 0, or -1 when any
+// in-length byte is not uppercase ACGT (caller falls back to raw tokens).
+int64_t wfa_pack2_batch(const uint8_t* mat, int64_t B, int64_t Wm,
+                        const int64_t* lens, uint8_t* out, int64_t Wout) {
+    uint8_t code[256];
+    memset(code, 255, sizeof(code));
+    code['A'] = 0;
+    code['C'] = 1;
+    code['G'] = 2;
+    code['T'] = 3;
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* row = mat + b * Wm;
+        uint8_t* orow = out + b * Wout;
+        const int64_t n = lens[b] < Wm ? lens[b] : Wm;
+        uint8_t acc = 0;
+        int64_t j = 0;
+        for (; j < n; ++j) {
+            const uint8_t c = code[row[j]];
+            if (c == 255) return -1;
+            acc |= static_cast<uint8_t>(c << ((j & 3) * 2));
+            if ((j & 3) == 3) {
+                orow[j >> 2] = acc;
+                acc = 0;
+            }
+        }
+        if (j & 3) orow[j >> 2] = acc;
+        for (int64_t k = (j + 3) >> 2; k < Wout; ++k) orow[k] = 0;
+    }
+    return 0;
 }
 
 // Run-length encode a per-base numeric op row into (op, len) pairs.

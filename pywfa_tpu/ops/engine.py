@@ -371,17 +371,28 @@ def build_lcp_table(cfg: EngineConfig, pat, txt):
     return _build_lcp_table(cfg, pat, txt)
 
 
+def _lcp_layout_hmajor(cfg: EngineConfig, Ltp: int) -> bool:
+    """Static choice: L-major table (Pallas fast path) vs W-major.
+
+    L-major only when the Pallas builder's tile fits VMEM -- for oversize
+    shapes (long reads / wide bands) the W-major XLA builder is used
+    directly; a layout transpose there would cost more than it saves.
+    """
+    from .pallas import lcp_table as LT
+    dt = 1 if Ltp < 250 else 2
+    return LT.supported(Ltp, cfg.W, dt)
+
+
 def _build_lcp_table_h(cfg: EngineConfig, pat, txt):
     """L-major LCP table R[h, b, w] (see ops.pallas.lcp_table).
 
     On TPU the table is built by a fused Pallas backward scan (one pass,
-    HBM-bound); elsewhere (or when a tile would overflow VMEM) it falls
-    back to the XLA skew+cummin builder transposed into the same layout.
+    HBM-bound); on CPU by the XLA skew+cummin builder transposed into the
+    same layout (cheap at test scale, keeps this path covered by the
+    CPU test suite).
     """
     from .pallas import lcp_table as LT
-    Ltp = txt.shape[1]
-    dt = 1 if Ltp < 250 else 2
-    if jax.default_backend() != "cpu" and LT.supported(Ltp, cfg.W, dt):
+    if jax.default_backend() != "cpu":
         return LT.build_lcp_table_hmajor(cfg.W, cfg.kmin, cfg.wildcard,
                                          False, pat, txt)
     return jnp.transpose(_build_lcp_table(cfg, pat, txt), (2, 0, 1))
@@ -1063,7 +1074,13 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
               max_steps):
     """Run the score loop from `state` for up to S_cap-1 more steps."""
     end2end = cfg.span == AlignmentSpan.END_TO_END
-    lcp = _build_lcp_table_h(cfg, pat, txt) if cfg.use_lcp_table else None
+    lcp_hmajor = cfg.use_lcp_table and _lcp_layout_hmajor(cfg, txt.shape[1])
+    if not cfg.use_lcp_table:
+        lcp = None
+    elif lcp_hmajor:
+        lcp = _build_lcp_table_h(cfg, pat, txt)
+    else:
+        lcp = _build_lcp_table(cfg, pat, txt)
     seg_end = state["seg_base"] + (cfg.S_cap - 1)
 
     def cond(state):
@@ -1089,7 +1106,8 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
         # --- extension (only pairs with an existing M wavefront) ---
         band = _band_mask(cfg, lo, hi) & (active & exists)[:, None]
         if cfg.use_lcp_table:
-            off = _extend_band_lcp_h(cfg, lcp, tlen, off, band)
+            off = (_extend_band_lcp_h if lcp_hmajor else _extend_band_lcp)(
+                cfg, lcp, tlen, off, band)
         else:
             off = _extend_band(cfg, pat, txt, plen, tlen, off, band)
         state["offsets"] = state["offsets"].at[M, slot].set(off)
