@@ -45,8 +45,13 @@ _VMEM_OUT_BYTES = 4 * 2**20
 
 
 def supported(Ltp: int, W: int, out_bytes: int) -> bool:
-    """One [HB, TB, W] block must fit VMEM with >= 8 batch rows per tile."""
-    return 8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES and W % _HB == 0
+    """One [HB, TB, W] block must fit VMEM with >= 8 batch rows per tile.
+
+    Any band width compiles (verified W=64/192/320 on v5e): the window
+    slices are static lane rotations and the out block's minor dim equals
+    the full array dim, so no divisibility constraint applies to W.
+    """
+    return 8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES
 
 
 def _kernel(nb, W, c0, Np, wildcard, out_dt,
