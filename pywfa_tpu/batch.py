@@ -123,11 +123,6 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
     return "".join(parts)
 
 
-_OP_CHAR_LUT = np.full(256, ord("?"), dtype=np.uint8)
-for _code, _ch in ((0, "M"), (1, "I"), (2, "D"), (8, "X")):
-    _OP_CHAR_LUT[_code] = ord(_ch)
-
-
 def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
                  end_off, ops_rev, n_ops, k_start, wildcard) -> dict:
     """Batched C++ match-fill for the clean pairs; {} if lib unavailable.

@@ -374,13 +374,15 @@ def build_lcp_table(cfg: EngineConfig, pat, txt):
 def _lcp_layout_hmajor(cfg: EngineConfig, Ltp: int) -> bool:
     """Static choice: L-major table (Pallas fast path) vs W-major.
 
-    L-major only when the Pallas builder's tile fits VMEM -- for oversize
-    shapes (long reads / wide bands) the W-major XLA builder is used
-    directly; a layout transpose there would cost more than it saves.
+    L-major only when the Pallas builder's blocks fit VMEM and the
+    per-step one-hot stream stays profitable (Ltp <= 2048) -- for
+    oversize shapes (long reads / wide bands) the W-major XLA builder is
+    used directly (it switches to an O(W) gather lookup past Ltp=2048);
+    a layout transpose there would cost more than it saves.
     """
     from .pallas import lcp_table as LT
     dt = 1 if Ltp < 250 else 2
-    return LT.supported(Ltp, cfg.W, dt)
+    return LT.supported(Ltp, cfg.W, dt, Lpp=cfg.Lp + cfg.extend_chunk)
 
 
 def _build_lcp_table_h(cfg: EngineConfig, pat, txt):

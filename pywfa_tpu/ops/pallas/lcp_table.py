@@ -44,14 +44,33 @@ _HB = 128  # h-block: the TPU lane alignment quantum
 _VMEM_OUT_BYTES = 4 * 2**20
 
 
-def supported(Ltp: int, W: int, out_bytes: int) -> bool:
-    """One [HB, TB, W] block must fit VMEM with >= 8 batch rows per tile.
+def supported(Ltp: int, W: int, out_bytes: int, Lpp: int = 0) -> bool:
+    """Whether the Pallas builder handles this shape.
 
-    Any band width compiles (verified W=64/192/320 on v5e): the window
-    slices are static lane rotations and the out block's minor dim equals
-    the full array dim, so no divisibility constraint applies to W.
+    - Ltp <= 2048: beyond that the per-step one-hot extension lookup over
+      an L-major table is a net loss anyway (the W-major path switches to
+      an O(W) gather there, engine._extend_band_lcp), and 2048 also keeps
+      every run within int16.
+    - one grid step's blocks (patrev row + text row + [HB, TB, W] out +
+      scratch) must fit the VMEM budget with >= 8 batch rows per tile.
+    - any band width compiles (verified W=64/192/320 on v5e): the window
+      slices are static lane rotations and the out block's minor dim
+      equals the full array dim.
     """
-    return 8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES
+    if Ltp > 2048:
+        return False
+    Ltp_pad = -(-Ltp // _HB) * _HB
+    TB = _tile_rows(W, out_bytes)
+    np_bound = Lpp + W + Ltp_pad + 2 * _HB  # patrev row upper bound
+    in_bytes = TB * (np_bound + Ltp_pad) + TB * W * 4
+    return (8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES
+            and in_bytes <= _VMEM_OUT_BYTES)
+
+
+def _tile_rows(W: int, out_bytes: int) -> int:
+    """Power-of-two batch rows per tile within the output VMEM budget."""
+    bound = max(8, _VMEM_OUT_BYTES // max(1, _HB * W * out_bytes))
+    return 1 << (bound.bit_length() - 1)
 
 
 def _kernel(nb, W, c0, Np, wildcard, out_dt,
@@ -119,12 +138,12 @@ def build_lcp_table_hmajor(W: int, kmin: int, wildcard: int, interpret: bool,
                     constant_values=np.int8(TEXT_PAD)) \
         if Ltp_pad != Ltp else txt
 
+    assert Ltp <= 2048, "use the XLA builder beyond the supported() gate"
     out_dt = jnp.uint8 if Ltp < 250 else jnp.int16
     ob = jnp.dtype(out_dt).itemsize
-    # largest power-of-two tile within the VMEM budget; pad B up to a
-    # multiple (pad rows compute garbage runs that are sliced off)
-    bound = max(8, min(B, _VMEM_OUT_BYTES // max(1, _HB * W * ob)))
-    TB = 1 << (bound.bit_length() - 1)
+    # pad B up to a tile multiple (pad rows compute garbage runs that are
+    # sliced off); small batches shrink the tile to one padded block
+    TB = min(_tile_rows(W, ob), 1 << (B - 1).bit_length()) if B else 1
     padB = (-B) % TB
     if padB:
         patrev = jnp.pad(patrev, ((0, padB), (0, 0)),

@@ -94,3 +94,44 @@ def test_lcp_table_hmajor_matches_xla_builder():
         got = np.asarray(LT.build_lcp_table_hmajor(
             c.W, c.kmin, wc, True, pat, txt))
         np.testing.assert_array_equal(got.transpose(1, 2, 0), ref)
+
+
+def test_lcp_hmajor_gate_rejects_long_reads():
+    """Shapes that would overflow int16 runs or VMEM must route to the
+    W-major XLA builder (review-found: a 32,800-base match run stored as
+    -32736 when the gate let Ltp>=32768 through)."""
+    from pywfa_tpu.ops.pallas import lcp_table as LT
+    assert not LT.supported(32900, 8, 2)
+    assert not LT.supported(4096, 128, 2)
+    assert LT.supported(256, 128, 2)
+    # a huge pattern row must also be rejected (input block VMEM)
+    assert not LT.supported(2048, 64, 2, Lpp=200_000)
+
+
+def test_lcp_hmajor_cross_block_carry():
+    """Runs spanning the 128-position h-block boundary (the scratch carry
+    between grid steps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pywfa_tpu import batch as BT
+    from pywfa_tpu.ops import engine as E
+    from pywfa_tpu.ops.pallas import lcp_table as LT
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.attributes import validate_alignment
+
+    L = 300  # Ltp_pad = 384 -> 3 h-blocks
+    seq = (b"ACGT" * 80)[:L]
+    attr = validate_alignment(
+        WavefrontAligner(backend="numpy", span="end-to-end")._attributes(),
+        L, L)
+    cfg = E.full_config(attr, L, L, W=64, S_cap=64)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(BT.encode_batch([seq], cfg.Lp, C, BT.PATTERN_SENTINEL))
+    txt = jnp.asarray(BT.encode_batch([seq], cfg.Lt, C, BT.TEXT_SENTINEL))
+    ref = np.asarray(E._build_lcp_table(cfg, pat, txt))
+    got = np.asarray(LT.build_lcp_table_hmajor(
+        cfg.W, cfg.kmin, -1, True, pat, txt))
+    np.testing.assert_array_equal(got.transpose(1, 2, 0), ref)
+    # the k=0 diagonal run at h=0 must span the full identical sequence
+    w0 = -cfg.kmin
+    assert ref[0, w0, 0] == L
