@@ -15,7 +15,13 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin force-sets jax_platforms; the env var alone
+        # is ignored (see CLAUDE.md) -- apply it explicitly
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
