@@ -3,6 +3,11 @@
 
 Run: python examples/demo.py   (CPU or TPU; first call compiles)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from pywfa_tpu import WavefrontAligner, clip_cigartuples
@@ -33,6 +38,13 @@ ba = BatchWavefrontAligner(span="end-to-end")
 results = ba.align(pats, txts)
 print("batch scores:", sorted({r.score for r in results}))
 print("example sam cigar:", results[0].sam_cigar)
+
+# --- pipelined streaming (production throughput path) ----------------------
+# several batches stay in flight: device compute, transfers, and host CIGAR
+# assembly all overlap (this is what the CLI uses)
+stream_in = [(pats[i::4], txts[i::4]) for i in range(4)]
+n = sum(len(rs) for rs in ba.align_stream(iter(stream_in)))
+print("streamed", n, "alignments over", len(stream_in), "batches")
 
 # --- wavefront heatmap (debug tooling) ------------------------------------
 from pywfa_tpu.utils.plot import plot_alignment
