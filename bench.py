@@ -63,23 +63,24 @@ def main():
     max_steps = jnp.int32(2**31 - 1)
 
     def run():
-        out = E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
-        ok = out["status"] == E.ST_END_REACHED
-        ops_rev, n_ops, k_start, fb = E.traceback_walk(
-            cfg, out["choices"], out["final_s"], out["end_k"], ok)
-        return out, ops_rev, n_ops, k_start, fb, ok
+        # production path: score loop + traceback walk + output packing in
+        # ONE compiled call, ONE device array out (single RPC each way on
+        # tunneled TPU links)
+        return E.align_batch_full(cfg, pat, txt, plen, tlen, frees,
+                                  max_steps)
 
-    # warm-up / compile
-    out, ops_rev, n_ops, k_start, fb, ok = run()
-    jax.block_until_ready(ops_rev)
-    n_ok = int(np.asarray(ok).sum())
+    # warm-up / compile + correctness probe
+    packed = np.asarray(run())
+    meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
+    status, fb = meta[0], meta[6]
+    n_ok = int((status == E.ST_END_REACHED).sum())
     assert n_ok == B, f"only {n_ok}/{B} pairs completed in bucket"
-    assert not np.asarray(fb).any(), "traceback fallback triggered"
+    assert not fb.any(), "traceback fallback triggered"
 
     t0 = time.time()
     for _ in range(ITERS):
-        out, ops_rev, n_ops, k_start, fb, ok = run()
-    jax.block_until_ready(ops_rev)
+        out = run()
+    jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
 
     cells = B * L * L

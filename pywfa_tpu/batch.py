@@ -208,12 +208,18 @@ def pack_tokens(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
 
 
 def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
-                plens_np=None, tlens_np=None):
+                plens_np=None, tlens_np=None, scope_full=True):
     """Dispatch to the fused Pallas loop kernel when eligible, else XLA.
 
     pat_np/txt_np are HOST token matrices; the push strategy is chosen here:
     one fused array, 2-bit packed when the batch is pure uppercase ACGT
     (4x fewer bytes over the tunneled host<->TPU link).
+
+    Returns the packed single-pull output array: the _pack_full uint8
+    vector when scope_full, else the 4xB int32 meta block — produced by
+    ONE compiled call on the XLA paths (score loop + traceback walk +
+    packing in the same program; each extra dispatch pays a full RPC
+    round trip on tunneled TPU links).
     """
     import jax
     import jax.numpy as jnp
@@ -240,10 +246,13 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
         if pt is not None:
             fused2 = np.concatenate([pp, pt], axis=1)
-            return E.align_batch_packed(cfg, fused2, plen, tlen, frees,
-                                        max_steps)
+            fn = (E.align_batch_packed_full if scope_full
+                  else E.align_batch_packed_meta)
+            return fn(cfg, fused2, plen, tlen, frees, max_steps)
         fused = np.concatenate([pat_np, txt_np], axis=1)
-        return E.align_batch_fused(cfg, fused, plen, tlen, frees, max_steps)
+        fn = (E.align_batch_fused_full if scope_full
+              else E.align_batch_fused_meta)
+        return fn(cfg, fused, plen, tlen, frees, max_steps)
     pat = jnp.asarray(pat_np)
     txt = jnp.asarray(txt_np)
     TB = PALLAS_TB
@@ -267,7 +276,9 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         out = {k: (v[:, :B] if k == "choices" else
                    (v[:B] if getattr(v, "ndim", 0) >= 1 else v))
                for k, v in out.items()}
-    return out
+    if scope_full:
+        return E.pack_full_output(cfg, out)
+    return E.pack_meta_output(out)
 
 
 @dataclasses.dataclass
@@ -687,33 +698,24 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     max_steps_i = min(attr0.system.max_alignment_steps, 2**31 - 1)
     max_steps = jnp.int32(max_steps_i)
 
-    out = _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps,
-                      frees_np, plens_np=plens, tlens_np=tlens)
-
-    # pack ALL per-pair outputs into ONE device->host transfer: on tunneled
-    # TPU setups each separate pull pays a full RPC round trip. The walk
-    # runs unconditionally with the clean-mask computed on device.
-    meta_d = jnp.stack([out["status"], out["final_s"],
-                        out["end_k"], out["end_off"]])
+    # ONE compiled call producing ONE packed output array (walk + meta
+    # packing run inside the same program as the score loop), pulled in
+    # ONE device->host transfer: on tunneled TPU setups every extra
+    # dispatch or pull pays a full RPC round trip.
+    out_d = _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps,
+                        frees_np, plens_np=plens, tlens_np=tlens,
+                        scope_full=scope_full)
     h = _Inflight()
     if scope_full:
-        ok_d = out["status"] == E.ST_END_REACHED
-        ops_rev_d, n_ops_d, k_start_d, fb_d = E.traceback_walk(
-            cfg, out["choices"], out["final_s"], out["end_k"], ok_d)
-        meta_d = jnp.concatenate([
-            meta_d, jnp.stack([n_ops_d, k_start_d,
-                               fb_d.astype(jnp.int32)])])
-        h.packed_d = jnp.concatenate([
-            jax.lax.bitcast_convert_type(meta_d, jnp.uint8).reshape(-1),
-            ops_rev_d.reshape(-1)])
+        h.packed_d = out_d
         h.meta_d = None
         # start the device->host copy as soon as the result materializes so
         # the transfer overlaps the next batch's compute (tunneled-TPU RPC)
         h.packed_d.copy_to_host_async()
     else:
-        h.meta_d = meta_d
+        h.meta_d = out_d
         h.packed_d = None
-        meta_d.copy_to_host_async()
+        out_d.copy_to_host_async()
     h.attr, h.attr0, h.cfg, h.full_probe = attr, attr0, cfg, full_probe
     h.patterns, h.texts, h.wildcard = patterns, texts, wildcard
     h.plens, h.tlens, h.pat_np, h.txt_np = plens, tlens, pat_np, txt_np

@@ -1405,8 +1405,7 @@ def _walk_step_fn(cfg: EngineConfig, B: int):
     return step
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
+def _traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     """Walk the choice tensor backwards from each pair's end cell.
 
     Emits per pair a zero-sparse op stream in FORWARD cigar order (codes
@@ -1443,6 +1442,103 @@ def traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     n_ops = jnp.sum((ops_fwd != 0).astype(jnp.int32), axis=0)
     # [B, S_cap], sparse (0 = no op at that score level), FORWARD cigar order
     return ops_fwd.T, n_ops, k_f, fallback
+
+
+traceback_walk = functools.partial(jax.jit, static_argnums=(0,))(
+    _traceback_walk)
+
+
+def _pack_full(cfg: EngineConfig, out):
+    """Walk + pack ALL full-scope outputs into ONE uint8 vector.
+
+    Layout (decoded by batch.align_pairs_finish): 7*B int32 little-endian
+    bytes [status, final_s, end_k, end_off, n_ops, k_start, fallback]
+    followed by ops_rev [B, S_cap] row-major. Keeping walk + packing in
+    the SAME compiled program as the score loop makes a whole batch ONE
+    jit dispatch + ONE device->host pull -- on tunneled TPU links the
+    per-dispatch RPC gap otherwise rivals the device time itself.
+    """
+    ok = out["status"] == ST_END_REACHED
+    ops_fwd, n_ops, k_start, fb = _traceback_walk(
+        cfg, out["choices"], out["final_s"], out["end_k"], ok)
+    meta = jnp.stack([out["status"], out["final_s"], out["end_k"],
+                      out["end_off"], n_ops, k_start,
+                      fb.astype(jnp.int32)])
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1),
+        ops_fwd.reshape(-1)])
+
+
+def _pack_meta(out):
+    """Score-only scope: the 4xB int32 meta block (one dispatch, one pull)."""
+    return jnp.stack([out["status"], out["final_s"], out["end_k"],
+                      out["end_off"]])
+
+
+pack_full_output = functools.partial(jax.jit, static_argnums=(0,))(_pack_full)
+pack_meta_output = jax.jit(_pack_meta)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_full(cfg: EngineConfig, pat, txt, plen, tlen, frees,
+                     max_steps):
+    """align_batch + traceback walk + output packing, one compiled call."""
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _pack_full(cfg, _finish(cfg, state))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_fused_full(cfg: EngineConfig, fused, plen, tlen, frees,
+                           max_steps):
+    """align_batch_fused + walk + packing, one compiled call."""
+    wp, _ = fused_widths(cfg)
+    pat = fused[:, :wp]
+    txt = fused[:, wp:]
+    B = fused.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _pack_full(cfg, _finish(cfg, state))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_packed_full(cfg: EngineConfig, packed, plen, tlen, frees,
+                            max_steps):
+    """align_batch_packed + walk + packing, one compiled call."""
+    plen = plen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    pat, txt = _decode_packed(cfg, packed, plen, tlen)
+    B = packed.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _pack_full(cfg, _finish(cfg, state))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_fused_meta(cfg: EngineConfig, fused, plen, tlen, frees,
+                           max_steps):
+    """Score-only align_batch_fused returning the packed meta block."""
+    wp, _ = fused_widths(cfg)
+    pat = fused[:, :wp]
+    txt = fused[:, wp:]
+    B = fused.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _pack_meta(_finish(cfg, state))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_packed_meta(cfg: EngineConfig, packed, plen, tlen, frees,
+                            max_steps):
+    """Score-only align_batch_packed returning the packed meta block."""
+    plen = plen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    pat, txt = _decode_packed(cfg, packed, plen, tlen)
+    B = packed.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _pack_meta(_finish(cfg, state))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -63,13 +63,21 @@ def supported(Ltp: int, W: int, out_bytes: int, Lpp: int = 0) -> bool:
     TB = _tile_rows(W, out_bytes)
     np_bound = Lpp + W + Ltp_pad + 2 * _HB  # patrev row upper bound
     in_bytes = TB * (np_bound + Ltp_pad) + TB * W * 4
-    return (8 * _HB * W * out_bytes <= _VMEM_OUT_BYTES
+    return (8 * _HB * _lane_pad(W) * out_bytes <= _VMEM_OUT_BYTES
             and in_bytes <= _VMEM_OUT_BYTES)
+
+
+def _lane_pad(W: int) -> int:
+    """Minor-dim width as stored in VMEM: lanes pad to multiples of 128.
+
+    A W=64 block occupies the same VMEM as W=128 — budgeting with the raw
+    W over-sizes TB and blows the 16 MB scoped-vmem limit (seen on v5e)."""
+    return -(-W // _HB) * _HB
 
 
 def _tile_rows(W: int, out_bytes: int) -> int:
     """Power-of-two batch rows per tile within the output VMEM budget."""
-    bound = max(8, _VMEM_OUT_BYTES // max(1, _HB * W * out_bytes))
+    bound = max(8, _VMEM_OUT_BYTES // max(1, _HB * _lane_pad(W) * out_bytes))
     return 1 << (bound.bit_length() - 1)
 
 
