@@ -124,7 +124,7 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
 
 
 def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
-                 end_off, ops_rev, n_ops, k_start, wildcard) -> dict:
+                 end_off, ops_fwd, n_ops, k_start, wildcard) -> dict:
     """Batched C++ match-fill for the clean pairs; {} if lib unavailable.
 
     pat_np/txt_np: the already-encoded [B, L+C] int8 token matrices (the
@@ -149,9 +149,9 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
     trail_i = (sel(tlens) - eh).astype(np.int64)
     trail_d = (sel(plens) - ev).astype(np.int64)
     # the op stream is zero-sparse over the full row; scan all entries
-    scan_lens = np.full(len(idx), ops_rev.shape[1], dtype=np.int64)
+    scan_lens = np.full(len(idx), ops_fwd.shape[1], dtype=np.int64)
     res = native.match_fill_batch(
-        sel(ops_rev).view(np.uint8),
+        sel(ops_fwd).view(np.uint8),
         scan_lens,
         sel(k_start).astype(np.int64),
         pat, sel(plens).astype(np.int64),
@@ -742,7 +742,7 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
     if scope_full:
         packed = np.asarray(h.packed_d)
         meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
-        ops_rev = packed[7 * B * 4:].reshape(B, cfg.S_cap)
+        ops_fwd = packed[7 * B * 4:].reshape(B, cfg.S_cap)
         status, final_s, end_k, end_off, n_ops, k_start = meta[:6]
         fb = meta[6] != 0
     else:
@@ -760,7 +760,7 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
         clean_idx = np.flatnonzero(clean_np).tolist()
         if clean_idx:
             native_ops = _native_fill(cfg, clean_idx, pat_np, txt_np, plens,
-                                      tlens, end_k, end_off, ops_rev, n_ops,
+                                      tlens, end_k, end_off, ops_fwd, n_ops,
                                       k_start, wildcard)
 
     # vectorized score translation + python-int views (np scalar indexing in
@@ -792,7 +792,7 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
             if b in native_ops:
                 ops = native_ops[b]
             else:
-                ops = _match_fill(patterns[b], texts[b], ops_rev[b],
+                ops = _match_fill(patterns[b], texts[b], ops_fwd[b],
                                   int(n_ops[b]), int(k_start[b]),
                                   plens_l[b], tlens_l[b], wildcard)
                 # ends-free: trailing free ops, I-block then D-block

@@ -77,7 +77,7 @@ def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def match_fill_batch(ops_rev: np.ndarray, n_ops: np.ndarray,
+def match_fill_batch(ops_fwd: np.ndarray, n_ops: np.ndarray,
                      k_start: np.ndarray, pat: np.ndarray, plens: np.ndarray,
                      txt: np.ndarray, tlens: np.ndarray,
                      trail_i: np.ndarray, trail_d: np.ndarray,
@@ -85,19 +85,19 @@ def match_fill_batch(ops_rev: np.ndarray, n_ops: np.ndarray,
     """Batched match-fill; returns (ascii_ops [B, Lmax], lens [B]) or None.
 
     Output rows are ASCII op chars (M/I/D/X). All array args must be
-    C-contiguous with the documented dtypes: ops_rev/pat/txt uint8 2-D;
+    C-contiguous with the documented dtypes: ops_fwd/pat/txt uint8 2-D;
     the rest int64 1-D.
     """
     L = lib()
     if L is None:
         return None
-    B = ops_rev.shape[0]
+    B = ops_fwd.shape[0]
     out_stride = int(plens.max() + tlens.max() + 2) if B else 2
     out = np.empty((B, out_stride), dtype=np.uint8)
     out_lens = np.empty(B, dtype=np.int64)
     u8, i64 = ctypes.c_uint8, ctypes.c_int64
     L.wfa_match_fill_batch(
-        _ptr(ops_rev, u8), ops_rev.shape[1],
+        _ptr(ops_fwd, u8), ops_fwd.shape[1],
         _ptr(n_ops, i64), _ptr(k_start, i64),
         _ptr(pat, u8), pat.shape[1], _ptr(plens, i64),
         _ptr(txt, u8), txt.shape[1], _ptr(tlens, i64),

@@ -42,12 +42,12 @@ extern "C" {
 
 // Expand one pair's reversed walk-op stream into per-base numeric ops.
 //
-//   ops_rev:  [stride] uint8 forward-order sparse op stream (scan n_ops entries)
+//   ops_fwd:  [stride] uint8 forward-order sparse op stream (scan n_ops entries)
 //   out:      caller buffer of capacity out_cap (>= plen + tlen)
 //
 // Returns the number of per-base ops written, or -1 on overflow/error.
 int64_t wfa_match_fill(
-    const uint8_t* ops_rev, int64_t n_ops, int64_t k_start,
+    const uint8_t* ops_fwd, int64_t n_ops, int64_t k_start,
     const uint8_t* pattern, int64_t plen,
     const uint8_t* text, int64_t tlen,
     int32_t wildcard,
@@ -80,7 +80,7 @@ int64_t wfa_match_fill(
     if (!extend()) return -1;
     // ops stream is forward-order and zero-sparse (0 = no op at a level)
     for (int64_t i = 0; i < n_ops; ++i) {
-        const uint8_t tok = ops_rev[i];
+        const uint8_t tok = ops_fwd[i];
         if (tok == 0) continue;
         const uint8_t op = tok & 3;
         if (n >= out_cap) return -1;
@@ -113,14 +113,14 @@ int64_t wfa_match_fill(
 
 // Batched variant over B pairs with flat, padded arrays.
 //
-//   ops_rev:   [B, ops_stride] uint8
+//   ops_fwd:   [B, ops_stride] uint8
 //   pat/txt:   [B, pat_stride] / [B, txt_stride] uint8 (row-major, padded)
 //   out:       [B, out_stride] uint8 ASCII op chars (M/I/D/X);
 //   out_lens:  [B] int64
 //
 // Pairs with n_ops[b] < 0 are skipped (out_lens[b] = -1).
 void wfa_match_fill_batch(
-    const uint8_t* ops_rev, int64_t ops_stride,
+    const uint8_t* ops_fwd, int64_t ops_stride,
     const int64_t* n_ops, const int64_t* k_start,
     const uint8_t* pat, int64_t pat_stride, const int64_t* plens,
     const uint8_t* txt, int64_t txt_stride, const int64_t* tlens,
@@ -140,7 +140,7 @@ void wfa_match_fill_batch(
         }
         uint8_t* row = out + b * out_stride;
         const int64_t n = wfa_match_fill(
-            ops_rev + b * ops_stride, n_ops[b], k_start[b],
+            ops_fwd + b * ops_stride, n_ops[b], k_start[b],
             pat + b * pat_stride, plens[b],
             txt + b * txt_stride, tlens[b],
             wildcard, trail_i[b], trail_d[b],

@@ -1174,6 +1174,16 @@ def _finish(cfg, state):
     return out
 
 
+def _align_core(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
+    """init -> score loop -> finish: the one engine body every jitted
+    align_batch_* variant wraps (input decode on the way in, output
+    packing on the way out)."""
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _finish(cfg, state)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
     """Batched WFA over B pairs.
@@ -1185,10 +1195,7 @@ def align_batch(cfg: EngineConfig, pat, txt, plen, tlen, frees, max_steps):
     Returns dict with per-pair status/final_s/end_k/end_off (+ choices).
     Pairs still running at S_cap report ST_OVERFLOW_S (escalate or segment).
     """
-    B = pat.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _finish(cfg, state)
+    return _align_core(cfg, pat, txt, plen, tlen, frees, max_steps)
 
 
 def fused_widths(cfg) -> Tuple[int, int]:
@@ -1202,6 +1209,12 @@ def packed_widths(cfg) -> Tuple[int, int]:
     return -(-wp // 4), -(-wt // 4)
 
 
+def _decode_fused(cfg, fused):
+    """Split one [B, Wp+Wt] fused token array into (pat, txt) rows."""
+    wp, _ = fused_widths(cfg)
+    return fused[:, :wp], fused[:, wp:]
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch_fused(cfg: EngineConfig, fused, plen, tlen, frees, max_steps):
     """align_batch with pattern|text token rows in ONE [B, Wp+Wt] array.
@@ -1209,13 +1222,8 @@ def align_batch_fused(cfg: EngineConfig, fused, plen, tlen, frees, max_steps):
     A single host->device array halves the per-transfer RPC overhead on
     tunneled TPU links (the slice is free inside the compiled graph).
     """
-    wp, _ = fused_widths(cfg)
-    pat = fused[:, :wp]
-    txt = fused[:, wp:]
-    B = fused.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _finish(cfg, state)
+    pat, txt = _decode_fused(cfg, fused)
+    return _align_core(cfg, pat, txt, plen, tlen, frees, max_steps)
 
 
 def _decode_packed(cfg, packed, plen, tlen):
@@ -1255,10 +1263,7 @@ def align_batch_packed(cfg: EngineConfig, packed, plen, tlen, frees,
     plen = plen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
     pat, txt = _decode_packed(cfg, packed, plen, tlen)
-    B = packed.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _finish(cfg, state)
+    return _align_core(cfg, pat, txt, plen, tlen, frees, max_steps)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -1453,7 +1458,8 @@ def _pack_full(cfg: EngineConfig, out):
 
     Layout (decoded by batch.align_pairs_finish): 7*B int32 little-endian
     bytes [status, final_s, end_k, end_off, n_ops, k_start, fallback]
-    followed by ops_rev [B, S_cap] row-major. Keeping walk + packing in
+    followed by ops_fwd [B, S_cap] row-major (sparse op stream in FORWARD
+    cigar order, as returned by _traceback_walk). Keeping walk + packing in
     the SAME compiled program as the score loop makes a whole batch ONE
     jit dispatch + ONE device->host pull -- on tunneled TPU links the
     per-dispatch RPC gap otherwise rivals the device time itself.
@@ -1483,23 +1489,17 @@ pack_meta_output = jax.jit(_pack_meta)
 def align_batch_full(cfg: EngineConfig, pat, txt, plen, tlen, frees,
                      max_steps):
     """align_batch + traceback walk + output packing, one compiled call."""
-    B = pat.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _pack_full(cfg, _finish(cfg, state))
+    return _pack_full(cfg, _align_core(cfg, pat, txt, plen, tlen, frees,
+                                       max_steps))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch_fused_full(cfg: EngineConfig, fused, plen, tlen, frees,
                            max_steps):
     """align_batch_fused + walk + packing, one compiled call."""
-    wp, _ = fused_widths(cfg)
-    pat = fused[:, :wp]
-    txt = fused[:, wp:]
-    B = fused.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _pack_full(cfg, _finish(cfg, state))
+    pat, txt = _decode_fused(cfg, fused)
+    return _pack_full(cfg, _align_core(cfg, pat, txt, plen, tlen, frees,
+                                       max_steps))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -1509,23 +1509,17 @@ def align_batch_packed_full(cfg: EngineConfig, packed, plen, tlen, frees,
     plen = plen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
     pat, txt = _decode_packed(cfg, packed, plen, tlen)
-    B = packed.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _pack_full(cfg, _finish(cfg, state))
+    return _pack_full(cfg, _align_core(cfg, pat, txt, plen, tlen, frees,
+                                       max_steps))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch_fused_meta(cfg: EngineConfig, fused, plen, tlen, frees,
                            max_steps):
     """Score-only align_batch_fused returning the packed meta block."""
-    wp, _ = fused_widths(cfg)
-    pat = fused[:, :wp]
-    txt = fused[:, wp:]
-    B = fused.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _pack_meta(_finish(cfg, state))
+    pat, txt = _decode_fused(cfg, fused)
+    return _pack_meta(_align_core(cfg, pat, txt, plen, tlen, frees,
+                                  max_steps))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -1535,10 +1529,8 @@ def align_batch_packed_meta(cfg: EngineConfig, packed, plen, tlen, frees,
     plen = plen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
     pat, txt = _decode_packed(cfg, packed, plen, tlen)
-    B = packed.shape[0]
-    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
-    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
-    return _pack_meta(_finish(cfg, state))
+    return _pack_meta(_align_core(cfg, pat, txt, plen, tlen, frees,
+                                  max_steps))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -61,8 +61,10 @@ def supported(Ltp: int, W: int, out_bytes: int, Lpp: int = 0) -> bool:
         return False
     Ltp_pad = -(-Ltp // _HB) * _HB
     TB = _tile_rows(W, out_bytes)
-    np_bound = Lpp + W + Ltp_pad + 2 * _HB  # patrev row upper bound
-    in_bytes = TB * (np_bound + Ltp_pad) + TB * W * 4
+    # patrev row upper bound; input tiles occupy lane-padded VMEM just
+    # like the output block, so pad W and the whole row to 128 lanes
+    np_bound = _lane_pad(Lpp + _lane_pad(W) + Ltp_pad + 2 * _HB)
+    in_bytes = TB * (np_bound + Ltp_pad) + TB * _lane_pad(W) * 4
     return (8 * _HB * _lane_pad(W) * out_bytes <= _VMEM_OUT_BYTES
             and in_bytes <= _VMEM_OUT_BYTES)
 
