@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -106,6 +107,9 @@ class EngineConfig:
     # reference's per-diagonal scalar LCP loop). Disable for long reads
     # where the table would not fit.
     use_lcp_table: bool = True
+    # extension formulation override ("" = auto; see _extend_mode). Part
+    # of the config so each mode compiles/caches separately.
+    extend_force: str = ""
 
     @property
     def n_comp(self) -> int:
@@ -173,6 +177,7 @@ def full_config(attr, plen: int, tlen: int, wildcard: int = -1,
         Lt=Lt if Lt is not None else tlen,
         record_choices=record_choices,
         wildcard=wildcard,
+        extend_force=os.environ.get("PYWFA_EXTEND", "").strip().lower(),
     )
 
 
@@ -314,17 +319,12 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
     return off
 
 
-def _build_lcp_table(cfg: EngineConfig, pat, txt):
-    """Per-diagonal LCP run-length table R[b, w, h].
+def _eq_skew(cfg: EngineConfig, pat, txt):
+    """Per-diagonal equality eq[b, w, h]: pattern[h - k_w] vs text[h].
 
-    R[b, w, h] = number of consecutive matching characters along diagonal
-    k_w = kmin + w starting at text position h (i.e. comparing
-    pattern[h-k_w + j] vs text[h + j]). Because both sequences are padded
-    with distinct sentinels, runs stop at sequence ends automatically.
-
-    Built once per batch with static shifts and a reverse cummin -- no
-    gathers. Extension then reduces to `off += R[b, w, off]` (one gather of
-    B*W elements per score step) instead of the chunked compare loop.
+    k_w = kmin + w. Built gather-free with the classic skew trick (tiling
+    a padded pattern row W times and reshaping shifts each row by one);
+    sentinel padding guarantees eq is False past either sequence end.
     """
     B = pat.shape[0]
     W = cfg.W
@@ -337,9 +337,7 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
                      constant_values=np.int8(PATTERN_PAD))
     N = patpad.shape[1]
-    # patk[b, w, h] = patpad[b, c0 + h - w] with c0 = lead - kmin >= W-1,
-    # built gather-free with the classic skew trick: tiling a length-N row W
-    # times and reshaping to (W, N-1) shifts each row by one.
+    # patk[b, w, h] = patpad[b, c0 + h - w] with c0 = lead - kmin >= W-1
     c0 = lead - cfg.kmin
     assert c0 >= W - 1 and c0 + Ltp <= N - 1, (c0, W, Ltp, N)
     tiled = jnp.broadcast_to(patpad[:, None, :], (B, W, N)).reshape(B, W * N)
@@ -353,6 +351,23 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
         eq = (eq | (patk == wc) | (txt[:, None, :] == wc)) \
             & (patk != jnp.int8(PATTERN_PAD)) \
             & (txt[:, None, :] != jnp.int8(TEXT_PAD))
+    return eq
+
+
+def _build_lcp_table(cfg: EngineConfig, pat, txt):
+    """Per-diagonal LCP run-length table R[b, w, h].
+
+    R[b, w, h] = number of consecutive matching characters along diagonal
+    k_w = kmin + w starting at text position h (i.e. comparing
+    pattern[h-k_w + j] vs text[h + j]). Because both sequences are padded
+    with distinct sentinels, runs stop at sequence ends automatically.
+
+    Built once per batch with static shifts and a reverse cummin -- no
+    gathers. Extension then reduces to `off += R[b, w, off]` (one gather of
+    B*W elements per score step) instead of the chunked compare loop.
+    """
+    Ltp = txt.shape[1]
+    eq = _eq_skew(cfg, pat, txt)
     dt = jnp.int16 if Ltp < 32000 else jnp.int32
     hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
     big = dt(Ltp)
@@ -369,6 +384,32 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
 def build_lcp_table(cfg: EngineConfig, pat, txt):
     """Jitted standalone LCP-table builder (used by the Pallas path)."""
     return _build_lcp_table(cfg, pat, txt)
+
+
+def _extend_mode(cfg: EngineConfig, Ltp: int) -> str:
+    """Static choice of the extension formulation.
+
+    Default: the h-major run-length table with a one-hot lookup where the
+    Pallas builder supports it, the W-major table elsewhere (switches to a
+    gather lookup past Ltp=2048), chunked sequence compares when the LCP
+    table is disabled. Measured on v5e at 150bp/B=4096 (13-step loop):
+    onehot 7.3 ms < bits 9.6 ms < table 21.8 ms < chunk 6700 ms -- the
+    bits path (packed equality words + popcount-ctz, 8x smaller stream)
+    is VPU-compute-bound and loses to the HBM-bound one-hot stream on
+    this hardware; it stays available for A/B and for VMEM-tight shapes.
+    PYWFA_EXTEND forces a mode: bits | onehot | table | chunk (captured
+    into cfg.extend_force at config build so each mode caches separately).
+    """
+    force = cfg.extend_force
+    if force in ("bits", "onehot", "table", "chunk"):
+        if force == "chunk" or not cfg.use_lcp_table:
+            return "chunk"
+        if force == "onehot" and not _lcp_layout_hmajor(cfg, Ltp):
+            return "table"
+        return force
+    if not cfg.use_lcp_table:
+        return "chunk"
+    return "onehot" if _lcp_layout_hmajor(cfg, Ltp) else "table"
 
 
 def _lcp_layout_hmajor(cfg: EngineConfig, Ltp: int) -> bool:
@@ -417,6 +458,65 @@ def _extend_band_lcp_h(cfg: EngineConfig, lcp_h, tlen, off, band_mask):
     run = jnp.sum(jnp.where(hit, lcp_h, lcp_h.dtype.type(0)), axis=0,
                   dtype=jnp.int32)
     return jnp.where(valid, off + run, off)
+
+
+def _build_eq_bits(cfg: EngineConfig, pat, txt):
+    """Packed per-diagonal equality bits Q[q, b, w], h-major words.
+
+    Bit (h & 31) of Q[h >> 5, b, w] is eq[b, w, h] (same equality as
+    _eq_skew, wildcard included); bits past Ltp are 0 (mismatch). One
+    uint32 word covers 32 h positions: the per-step extension stream
+    drops from Ltp bytes/cell (run-length table) to Ltp/8 bits/cell --
+    the TPU analog of the reference's 64-bit blockwise compare kernel
+    (reference: wavefront_extend_kernels.c:64-88), with the word fetch
+    done as a masked stream instead of a random load.
+    """
+    eq = _eq_skew(cfg, pat, txt)
+    B, W, Ltp = eq.shape
+    NQ = -(-Ltp // 32)
+    padh = NQ * 32 - Ltp
+    if padh:
+        eq = jnp.pad(eq, ((0, 0), (0, 0), (0, padh)))
+    w = eq.reshape(B, W, NQ, 32).astype(jnp.uint32) \
+        << jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(w, axis=3, dtype=jnp.uint32)  # distinct bits: sum == or
+    return jnp.transpose(words, (2, 0, 1))  # [NQ, B, W]
+
+
+def _ctz32(m):
+    """Count trailing zeros of each uint32 (32 for m == 0)."""
+    return jax.lax.population_count(~m & (m - 1)).astype(jnp.int32)
+
+
+def _extend_band_bits(cfg: EngineConfig, bits, tlen, off, band_mask):
+    """Extension via packed equality bits: find-first-mismatch >= off.
+
+    For each cell, the run is (first h >= off with eq bit 0) - off,
+    computed by masking the word containing off below bit (off & 31),
+    taking a popcount-based ctz per word, and min-reducing over words.
+    One pass over the bit table per step -- 8x less HBM traffic than the
+    run-length one-hot and ~10 int ops per word instead of ~3 per h.
+    """
+    NQ = bits.shape[0]
+    big = jnp.int32(NQ * 32)
+    valid = band_mask & (off >= 0) & (off <= tlen[:, None])
+    idx = jnp.clip(off, 0, NQ * 32 - 1)
+    q0 = idx >> 5                               # [B, W]
+    r = (idx & 31).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    head = full << r                            # word q0's mask: bits >= r
+    fm = big
+    # static unroll over words: an accumulator chain of [B, W] ops (one
+    # fusion streaming the bit table once) instead of [NQ, B, W] temps
+    for q in range(NQ):
+        sel = jnp.where(q0 == q, head,
+                        jnp.where(q0 < q, full, jnp.uint32(0)))
+        m = ~bits[q] & sel                      # mismatch bits at h >= idx
+        cand = q * 32 + _ctz32(m)
+        fm = jnp.minimum(fm, jnp.where(m != 0, cand, big))
+    # sentinels guarantee a mismatch before the end of every row, so
+    # fm < NQ*32 whenever idx <= tlen; run >= 0 by the mask construction
+    return jnp.where(valid, off + (fm - idx), off)
 
 
 def _extend_band_lcp(cfg: EngineConfig, lcp, tlen, off, band_mask):
@@ -1076,13 +1176,15 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
               max_steps):
     """Run the score loop from `state` for up to S_cap-1 more steps."""
     end2end = cfg.span == AlignmentSpan.END_TO_END
-    lcp_hmajor = cfg.use_lcp_table and _lcp_layout_hmajor(cfg, txt.shape[1])
-    if not cfg.use_lcp_table:
-        lcp = None
-    elif lcp_hmajor:
+    mode = _extend_mode(cfg, txt.shape[1])
+    if mode == "bits":
+        lcp = _build_eq_bits(cfg, pat, txt)
+    elif mode == "onehot":
         lcp = _build_lcp_table_h(cfg, pat, txt)
-    else:
+    elif mode == "table":
         lcp = _build_lcp_table(cfg, pat, txt)
+    else:
+        lcp = None
     seg_end = state["seg_base"] + (cfg.S_cap - 1)
 
     def cond(state):
@@ -1107,9 +1209,12 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
 
         # --- extension (only pairs with an existing M wavefront) ---
         band = _band_mask(cfg, lo, hi) & (active & exists)[:, None]
-        if cfg.use_lcp_table:
-            off = (_extend_band_lcp_h if lcp_hmajor else _extend_band_lcp)(
-                cfg, lcp, tlen, off, band)
+        if mode == "bits":
+            off = _extend_band_bits(cfg, lcp, tlen, off, band)
+        elif mode == "onehot":
+            off = _extend_band_lcp_h(cfg, lcp, tlen, off, band)
+        elif mode == "table":
+            off = _extend_band_lcp(cfg, lcp, tlen, off, band)
         else:
             off = _extend_band(cfg, pat, txt, plen, tlen, off, band)
         state["offsets"] = state["offsets"].at[M, slot].set(off)

@@ -94,6 +94,17 @@ def test_score_only():
     _compare(dict(scope="score", span="end-to-end"), pairs)
 
 
+@pytest.mark.parametrize("mode", ["bits", "onehot", "table"])
+def test_extension_mode_forced(mode, monkeypatch):
+    # every extension formulation must satisfy the same byte contract
+    # (PYWFA_EXTEND is captured into cfg.extend_force at config build)
+    monkeypatch.setenv("PYWFA_EXTEND", mode)
+    pairs = _random_pairs(700 + len(mode), 10)
+    _compare(dict(distance="affine", span="end-to-end"), pairs)
+    _compare(dict(distance="affine2p", span="ends-free",
+                  pattern_begin_free=8, text_end_free=8), pairs[:5])
+
+
 @pytest.mark.parametrize("heuristic", ["adaptive", "X-drop"])
 def test_heuristics_random(heuristic):
     pairs = _random_pairs(17, 10, min_len=40, max_len=150, sub=0.15, ind=0.1)
