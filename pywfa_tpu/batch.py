@@ -172,11 +172,8 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
 
 
 # batch-tile size of the fused Pallas kernel; batches are padded up to a
-# multiple with trivial pairs. The fused kernel (ops/pallas/fused_loop.py)
-# is byte-equivalent to the XLA engine but currently ~4x slower on v5e
-# (Mosaic codegen for the one-hot VMEM lookup); it stays opt-in via
-# PYWFA_FORCE_PALLAS until it wins.
-PALLAS_TB = 32
+# multiple with trivial pairs.
+PALLAS_TB = int(os.environ.get("PYWFA_PALLAS_TB", 32))
 USE_PALLAS = False
 
 
@@ -227,13 +224,17 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
 
     B = pat_np.shape[0]
     force = bool(os.environ.get("PYWFA_FORCE_PALLAS"))
+    NQ = -(-(cfg.Lt + cfg.extend_chunk) // 32)
+    scope = cfg.scope
     eligible = (
         (USE_PALLAS or force)
         and fused_loop.supported(cfg)
         and (jax.default_backend() != "cpu" or force)
-        # VMEM budget: lcp tile + ring + choices block
-        and PALLAS_TB * cfg.W * (cfg.Lt + cfg.extend_chunk) * 2 < 6 * 2**20
-        and cfg.S_cap * PALLAS_TB * cfg.W < 4 * 2**20
+        # VMEM budget: bits tile + ring scratch + choices block (+ slack
+        # for the step's [TB, W] temporaries)
+        and (NQ * PALLAS_TB * cfg.W * 4
+             + 3 * scope * PALLAS_TB * cfg.W * 4
+             + cfg.S_cap * PALLAS_TB * cfg.W) < 10 * 2**20
         # WF0 ends-free seeds must fit the band
         and int(np.max(frees_np[:, [0, 2]], initial=0)) < -cfg.kmin - 2
     )
@@ -269,8 +270,8 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         # give pad pairs a trivially-alignable base
         pat = pat.at[B:, 0].set(65)
         txt = txt.at[B:, 0].set(65)
-    lcp = E.build_lcp_table(cfg, pat, txt)
-    out = fused_loop.align_batch_pallas(cfg, TB, lcp, plen, tlen, frees,
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, bits, plen, tlen, frees,
                                         max_steps)
     if padB:
         out = {k: (v[:, :B] if k == "choices" else

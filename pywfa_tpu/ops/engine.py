@@ -488,6 +488,10 @@ def _ctz32(m):
     return jax.lax.population_count(~m & (m - 1)).astype(jnp.int32)
 
 
+build_eq_bits = functools.partial(jax.jit, static_argnums=(0,))(
+    _build_eq_bits)
+
+
 def _extend_band_bits(cfg: EngineConfig, bits, tlen, off, band_mask):
     """Extension via packed equality bits: find-first-mismatch >= off.
 

@@ -5,9 +5,11 @@ state resident in VMEM:
 
 - the wavefront ring `offsets[3, scope, TB, W]` (the reference's modular
   memory, wavefront_components.c:92-93) lives in VMEM scratch,
-- the per-diagonal LCP table tile streams HBM->VMEM once and every
-  extension step reads it at VMEM bandwidth (the XLA path re-streams it
-  from HBM each step),
+- per-diagonal equality bits (32 h-positions per uint32 word, the VMEM
+  analog of the reference's 64-bit blockwise compare kernel,
+  wavefront_extend_kernels.c:64-88) stream HBM->VMEM once; every extension
+  step is a find-first-mismatch over NQ = ceil(Ltp/32) words -- O(NQ) VPU
+  ops per cell instead of the O(Ltp) one-hot run-length lookup,
 - choice bytes accumulate in a VMEM output block and are written back once,
 - each tile exits its loop as soon as its own pairs finish (the XLA
   while_loop runs to the global max).
@@ -50,14 +52,30 @@ def supported(cfg) -> bool:
             and cfg.record_choices)
 
 
+def _ctz32(m):
+    """Count trailing zeros of each uint32 lane (m != 0 assumed; the caller
+    masks m == 0 lanes out).
+
+    Isolate the lowest set bit, convert to float32 (exact: single bit), and
+    read the exponent -- three VPU ops, no gather/popcount needed. Works
+    for bit 31 too: the sign bit is shifted out before the 0xFF mask.
+    """
+    mi = m.astype(jnp.int32)
+    lsb = mi & -mi
+    f = jax.lax.convert_element_type(lsb, jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) & 0xFF
+    return e - 127
+
+
 def _kernel(cfg, TB,
-            plen_ref, tlen_ref, frees_ref, msteps_ref, lcp_ref,
+            plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref,
             choices_ref, res_ref,
             off_ref, lohi_ref):
     """One tile's full score loop.
 
     plen/tlen: [TB, 1] i32; frees: [TB, 4] i32; msteps: [1, 1] SMEM
-    lcp: [TB, W, Ltp] i16; choices out: [S_cap, TB, W] u8
+    bits: [NQ, TB, W] u32 packed equality words (engine._build_eq_bits);
+    choices out: [S_cap, TB, W] u8
     res out: [TB, 8] i32 (status, final_s, end_k, end_off)
     scratch off: [3 * scope, TB, W] i32; lohi: [3 * scope, TB, 2] i32
     """
@@ -69,12 +87,9 @@ def _kernel(cfg, TB,
     o1e1 = cfg.gap_opening1 + cfg.gap_extension1
     e1 = cfg.gap_extension1
     end2end = cfg.span == AlignmentSpan.END_TO_END
-    Ltp = lcp_ref.shape[2]
+    NQ = bits_ref.shape[0]
 
     karr = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1) + kmin
-    # loop-invariant extension operand, hoisted out of the score loop
-    # (int32: Mosaic only supports minor-dim broadcasts for 32-bit types)
-    hidx = jax.lax.broadcasted_iota(jnp.int32, (TB, W, Ltp), 2)
     plen = plen_ref[:, :]  # [TB, 1]
     tlen = tlen_ref[:, :]
     msteps = msteps_ref[0, 0]
@@ -162,14 +177,28 @@ def _kernel(cfg, TB,
         done = done | dead
         active = active & ~dead
 
-        # --- extension: VMEM-resident one-hot LCP lookup ---
+        # --- extension: find-first-mismatch over VMEM equality words ---
+        # (the same formulation as engine._extend_band_bits, with the word
+        # stream resident in VMEM: mask word q0 below bit (off & 31), ctz
+        # per word, min-reduce over the static NQ-word unroll)
         band = band_mask(m_lo, m_hi) & active & ~m_null
         valid = band & (m_off >= 0) & (m_off <= tlen)
-        idx = jnp.clip(m_off, 0, Ltp - 1)
-        hit = hidx == idx[:, :, None]
-        run = jnp.sum(jnp.where(hit, lcp_ref[:, :, :],
-                                jnp.int16(0)).astype(jnp.int32), axis=2)
-        m_off = jnp.where(valid, m_off + run, m_off)
+        big = jnp.int32(NQ * 32)
+        full32 = jnp.uint32(0xFFFFFFFF)
+        idx = jnp.clip(m_off, 0, NQ * 32 - 1)
+        q0 = idx >> 5
+        r = (idx & 31).astype(jnp.uint32)
+        head = full32 << r
+        fm = jnp.full((TB, W), NQ * 32, jnp.int32)
+        for q in range(NQ):
+            sel = jnp.where(q0 == q, head,
+                            jnp.where(q0 < q, full32, jnp.uint32(0)))
+            mq = ~bits_ref[q] & sel
+            cand = q * 32 + _ctz32(mq)
+            fm = jnp.minimum(fm, jnp.where(mq != 0, cand, big))
+        # sentinel padding guarantees a mismatch bit before the row end,
+        # so fm < NQ*32 whenever idx <= tlen
+        m_off = jnp.where(valid, m_off + (fm - idx), m_off)
         off_ref[M * scope + slot] = m_off
 
         # --- termination ---
@@ -316,17 +345,17 @@ def _kernel(cfg, TB,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def align_batch_pallas(cfg, TB, lcp, plen, tlen, frees, max_steps):
+def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
     """Run the fused loop kernel over B pairs in tiles of TB.
 
-    lcp: [B, W, Ltp] int16; plen/tlen: [B] int32; frees: [B, 4] int32.
+    bits: [NQ, B, W] uint32 (engine.build_eq_bits); plen/tlen: [B] int32;
+    frees: [B, 4] int32.
     Returns dict(status, final_s, end_k, end_off, choices, steps).
     """
-    B = lcp.shape[0]
+    NQ, B = bits.shape[0], bits.shape[1]
     assert B % TB == 0, (B, TB)
     grid = (B // TB,)
     W, S_cap, scope = cfg.W, cfg.S_cap, cfg.scope
-    Ltp = lcp.shape[2]
     interpret = jax.default_backend() == "cpu"
 
     kernel = functools.partial(_kernel, cfg, TB)
@@ -346,7 +375,7 @@ def align_batch_pallas(cfg, TB, lcp, plen, tlen, frees, max_steps):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TB, W, Ltp), lambda i: (i, 0, 0),
+            pl.BlockSpec((NQ, TB, W), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -362,7 +391,7 @@ def align_batch_pallas(cfg, TB, lcp, plen, tlen, frees, max_steps):
         ],
         interpret=interpret,
     )(plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),
-      frees.astype(jnp.int32), max_steps.reshape(1, 1), lcp)
+      frees.astype(jnp.int32), max_steps.reshape(1, 1), bits)
     return dict(
         status=res[:, 0], final_s=res[:, 1], end_k=res[:, 2],
         end_off=res[:, 3], choices=choices,

@@ -29,8 +29,8 @@ def _run_both(pairs, span, frees_row=(0, 0, 0, 0)):
     frees = jnp.tile(jnp.asarray([frees_row], dtype=jnp.int32), (B, 1))
     ms = jnp.int32(2**31 - 1)
     ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
-    lcp = E.build_lcp_table(cfg, pat, txt)
-    out = fused_loop.align_batch_pallas(cfg, B, lcp, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, B, bits, plen, tlen, frees, ms)
     for key in ("status", "final_s", "end_k", "end_off"):
         np.testing.assert_array_equal(np.asarray(out[key]),
                                       np.asarray(ref[key]), err_msg=key)
