@@ -389,27 +389,33 @@ def build_lcp_table(cfg: EngineConfig, pat, txt):
 def _extend_mode(cfg: EngineConfig, Ltp: int) -> str:
     """Static choice of the extension formulation.
 
-    Default: the h-major run-length table with a one-hot lookup where the
-    Pallas builder supports it, the W-major table elsewhere (switches to a
-    gather lookup past Ltp=2048), chunked sequence compares when the LCP
-    table is disabled. Measured on v5e at 150bp/B=4096 (13-step loop):
-    onehot 7.3 ms < bits 9.6 ms < table 21.8 ms < chunk 6700 ms -- the
-    bits path (packed equality words + popcount-ctz, 8x smaller stream)
-    is VPU-compute-bound and loses to the HBM-bound one-hot stream on
-    this hardware; it stays available for A/B and for VMEM-tight shapes.
-    PYWFA_EXTEND forces a mode: bits | onehot | table | chunk (captured
-    into cfg.extend_force at config build so each mode caches separately).
+    Default: the 4-packed h-major run-length lookup (onehot4) where the
+    Pallas builder supports the h-major layout and runs fit uint8
+    (Ltp < 250); plain onehot for longer h-major shapes; the W-major
+    table elsewhere (switches to a gather lookup past Ltp=2048); chunked
+    sequence compares when the LCP table is disabled. The extension is
+    VPU-compute-bound on its per-level compare/select/accumulate chain,
+    so packing 4 uint8 levels per uint32 word quarters the dominant
+    per-step cost (measured on v5e at 150bp/B=4096, 13-step loop-only:
+    onehot4 2.4 ms < onehot 3.9 ms < bits 4.5 ms < table 21.8 ms <
+    chunk 6700 ms). PYWFA_EXTEND forces a mode: bits | onehot | onehot4 |
+    table | chunk (captured into cfg.extend_force at config build so each
+    mode caches separately).
     """
     force = cfg.extend_force
-    if force in ("bits", "onehot", "table", "chunk"):
+    if force in ("bits", "onehot", "onehot4", "table", "chunk"):
         if force == "chunk" or not cfg.use_lcp_table:
             return "chunk"
-        if force == "onehot" and not _lcp_layout_hmajor(cfg, Ltp):
+        if force in ("onehot", "onehot4") and not _lcp_layout_hmajor(cfg, Ltp):
             return "table"
+        if force == "onehot4" and Ltp >= 250:
+            return "onehot"  # runs don't fit uint8
         return force
     if not cfg.use_lcp_table:
         return "chunk"
-    return "onehot" if _lcp_layout_hmajor(cfg, Ltp) else "table"
+    if _lcp_layout_hmajor(cfg, Ltp):
+        return "onehot4" if Ltp < 250 else "onehot"
+    return "table"
 
 
 def _lcp_layout_hmajor(cfg: EngineConfig, Ltp: int) -> bool:
@@ -439,6 +445,46 @@ def _build_lcp_table_h(cfg: EngineConfig, pat, txt):
         return LT.build_lcp_table_hmajor(cfg.W, cfg.kmin, cfg.wildcard,
                                          False, pat, txt)
     return jnp.transpose(_build_lcp_table(cfg, pat, txt), (2, 0, 1))
+
+
+def _build_lcp_table_h4(cfg: EngineConfig, pat, txt):
+    """Packed h-major LCP table: 4 consecutive uint8 run levels per uint32.
+
+    Valid only when runs fit uint8 (Ltp < 250, the headline-bucket case).
+    The per-step one-hot stream then visits Ltp/4 levels instead of Ltp --
+    the extension is VPU-compute-bound on its compare/select/accumulate
+    chain, so quartering the level count quarters the dominant per-step
+    cost (same bytes streamed).
+    """
+    t = _build_lcp_table_h(cfg, pat, txt)  # [Ltp, B, W] uint8
+    Ltp = t.shape[0]
+    pad = (-Ltp) % 4
+    if pad:
+        t = jnp.pad(t, ((0, pad), (0, 0), (0, 0)))
+    t4 = t.reshape(-1, 4, *t.shape[1:]).astype(jnp.uint32)
+    # byte placement by constant multiplies (no variable shifts on VPU)
+    return (t4[:, 0] + t4[:, 1] * 256 + t4[:, 2] * 65536
+            + t4[:, 3] * 16777216)  # [ceil(Ltp/4), B, W] uint32
+
+
+def _extend_band_lcp_h4(cfg: EngineConfig, tbl4, tlen, off, band_mask):
+    """Extension via the 4-packed h-major LCP table (see builder above)."""
+    NH4 = tbl4.shape[0]
+    valid = band_mask & (off >= 0) & (off <= tlen[:, None])
+    idx = jnp.clip(off, 0, NH4 * 4 - 1)
+    it = jnp.int8 if NH4 < 128 else jnp.int16
+    hh = (idx >> 2).astype(it)
+    byte = idx & 3
+    hidx = jnp.arange(NH4, dtype=it)[:, None, None]
+    hit = hidx == hh[None]
+    sel = jnp.sum(jnp.where(hit, tbl4, jnp.uint32(0)), axis=0,
+                  dtype=jnp.uint32)
+    run = jnp.where(
+        byte == 0, sel & 255,
+        jnp.where(byte == 1, (sel >> 8) & 255,
+                  jnp.where(byte == 2, (sel >> 16) & 255,
+                            sel >> 24))).astype(jnp.int32)
+    return jnp.where(valid, off + run, off)
 
 
 def _extend_band_lcp_h(cfg: EngineConfig, lcp_h, tlen, off, band_mask):
@@ -477,19 +523,44 @@ def _build_eq_bits(cfg: EngineConfig, pat, txt):
     padh = NQ * 32 - Ltp
     if padh:
         eq = jnp.pad(eq, ((0, 0), (0, 0), (0, padh)))
-    w = eq.reshape(B, W, NQ, 32).astype(jnp.uint32) \
-        << jnp.arange(32, dtype=jnp.uint32)
+    # bit placement by multiply with a constant power-of-two vector (the
+    # VPU has no per-lane variable shift)
+    p2 = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+    w = eq.reshape(B, W, NQ, 32).astype(jnp.uint32) * jnp.asarray(p2)
     words = jnp.sum(w, axis=3, dtype=jnp.uint32)  # distinct bits: sum == or
     return jnp.transpose(words, (2, 0, 1))  # [NQ, B, W]
 
 
 def _ctz32(m):
-    """Count trailing zeros of each uint32 (32 for m == 0)."""
-    return jax.lax.population_count(~m & (m - 1)).astype(jnp.int32)
+    """Count trailing zeros of each uint32 (garbage for m == 0; callers
+    mask those lanes).
+
+    Isolate the lowest set bit, convert to float32 (exact: single bit),
+    and read the exponent -- cheaper on the VPU than population_count,
+    which XLA:TPU expands to a long op sequence. Bit 31 works too: the
+    sign bit is shifted out before the 0xFF mask (0xCF000000 >> 23 & 0xFF
+    = 158 -> 31).
+    """
+    mi = m.astype(jnp.int32)
+    lsb = mi & -mi
+    f = jax.lax.convert_element_type(lsb, jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) & 0xFF
+    return e - 127
 
 
 build_eq_bits = functools.partial(jax.jit, static_argnums=(0,))(
     _build_eq_bits)
+
+
+def _pow2_u32(r):
+    """2**r as uint32 for r in [0, 31], via exponent-bit construction.
+
+    TPU's VPU has no per-lane variable shift (XLA emulates `x << r` with
+    a long select chain), so build the float32 with exponent (r + 127)
+    using constant shifts only and convert.
+    """
+    f = jax.lax.bitcast_convert_type((r + 127) << 23, jnp.float32)
+    return jax.lax.convert_element_type(f, jnp.uint32)
 
 
 def _extend_band_bits(cfg: EngineConfig, bits, tlen, off, band_mask):
@@ -497,18 +568,20 @@ def _extend_band_bits(cfg: EngineConfig, bits, tlen, off, band_mask):
 
     For each cell, the run is (first h >= off with eq bit 0) - off,
     computed by masking the word containing off below bit (off & 31),
-    taking a popcount-based ctz per word, and min-reducing over words.
-    One pass over the bit table per step -- 8x less HBM traffic than the
-    run-length one-hot and ~10 int ops per word instead of ~3 per h.
+    taking a ctz per word, and min-reducing over words. One pass over the
+    bit table per step -- 8x less HBM traffic than the run-length
+    one-hot and ~10 int ops per word instead of ~3 per h.
     """
     NQ = bits.shape[0]
     big = jnp.int32(NQ * 32)
     valid = band_mask & (off >= 0) & (off <= tlen[:, None])
     idx = jnp.clip(off, 0, NQ * 32 - 1)
     q0 = idx >> 5                               # [B, W]
-    r = (idx & 31).astype(jnp.uint32)
+    r = idx & 31
     full = jnp.uint32(0xFFFFFFFF)
-    head = full << r                            # word q0's mask: bits >= r
+    # word q0's mask (bits >= r): 0xFFFFFFFF << r == -(2^r) mod 2^32,
+    # built without a variable shift
+    head = jnp.uint32(0) - _pow2_u32(r)
     fm = big
     # static unroll over words: an accumulator chain of [B, W] ops (one
     # fusion streaming the bit table once) instead of [NQ, B, W] temps
@@ -583,25 +656,24 @@ def _shift(x, dk):
 def _fetch(cfg, state, comp, score):
     """Wavefront (offsets, lo, hi, is_null[B]) for `score` from the ring.
 
-    Invalid scores (< 0) read as null. Ring slots always hold the wavefront
-    of the score they were last written for; scope >= max penalty + 1
-    guarantees no aliasing within the live window
-    (reference: wavefront_compute.c:298-344 modular fetch).
+    Ring slots always hold the wavefront of the score they were last
+    written for; scope >= max penalty + 1 guarantees no aliasing within
+    the live window (reference: wavefront_compute.c:298-344 modular
+    fetch). Negative scores need no special-casing: slot (score % scope)
+    (non-negative jnp semantics) belongs to score `score + scope`, which
+    is > the current score for every penalty lag (all lags < scope), so
+    that slot still holds its init state -- NULL offsets, lo=1 > hi=-1,
+    m_exists=False -- exactly the null read the reference's NULL check
+    produces.
     """
-    B = state["offsets"].shape[2]
-    valid = score >= 0
-    slot = jnp.maximum(score, 0) % cfg.scope
+    slot = score % cfg.scope
     off = state["offsets"][comp, slot]
     lo = state["lo"][comp, slot]
     hi = state["hi"][comp, slot]
-    off = jnp.where(valid, off, NULL)
-    lo = jnp.where(valid, lo, 1)
-    hi = jnp.where(valid, hi, -1)
     if comp == M:
-        exists = state["m_exists"][slot] & valid
+        is_null = (~state["m_exists"][slot]) | (lo > hi)
     else:
-        exists = valid
-    is_null = (~exists) | (lo > hi)
+        is_null = lo > hi
     return off, lo, hi, is_null
 
 
@@ -628,18 +700,22 @@ def _trim_ends(cfg, off, lo, hi, plen, tlen):
 
     Returns (new_lo, new_hi). Cells outside the band keep their values; the
     storage invariant (NULL outside band) is enforced by the caller's mask.
+    `off` may carry leading stacked axes ([..., B, W]); lo/hi/plen/tlen
+    broadcast against them. `any_ok` is derived from `first` (a min over
+    the masked iota is < W iff any cell passed) -- one reduction saved.
     """
     W = cfg.W
     iota = jnp.arange(W, dtype=jnp.int32)
     karr = iota + cfg.kmin
-    band = _band_mask(cfg, lo, hi)
-    v = off - karr[None, :]
+    band = (karr >= lo[..., None]) & (karr <= hi[..., None])
+    v = off - karr
     h = off
-    inb = band & (h >= 0) & (h <= tlen[:, None]) & (v >= 0) & (v <= plen[:, None])
-    first = jnp.min(jnp.where(inb, iota[None, :], W), axis=1) + cfg.kmin
-    last = jnp.max(jnp.where(inb, iota[None, :], -1), axis=1) + cfg.kmin
-    any_ok = inb.any(axis=1)
-    new_lo = jnp.where(any_ok, first, 1)
+    inb = band & (h >= 0) & (h <= tlen[..., None]) \
+        & (v >= 0) & (v <= plen[..., None])
+    first = jnp.min(jnp.where(inb, iota, W), axis=-1)
+    last = jnp.max(jnp.where(inb, iota, -1), axis=-1) + cfg.kmin
+    any_ok = first < W
+    new_lo = jnp.where(any_ok, first + cfg.kmin, 1)
     new_hi = jnp.where(any_ok, last, -1)
     return new_lo, new_hi
 
@@ -681,11 +757,11 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
         cand_i = _pack(ins1 + 1, 1)
         cand_d = _pack(del1, 3)
         packed = jnp.maximum(cand_d, jnp.maximum(cand_x, cand_i))
-        mvals = packed >> 3
-        msrc = jnp.where(packed < 0, MSRC_NONE,
-                         jnp.where(packed & 7 == 5, MSRC_X,
-                                   jnp.where(packed & 7 == 3, MSRC_D1, MSRC_I1)))
-        mvals = jnp.where(packed < 0, NULL, mvals)
+        mvals = packed >> 3  # all-invalid -> -2^27, null-ish (see affine)
+        pr = packed & 7
+        msrc = jnp.where(pr == 5, MSRC_X,
+                         jnp.where(pr == 3, MSRC_D1,
+                                   jnp.where(pr == 1, MSRC_I1, MSRC_NONE)))
         outs = {M: mvals}
         out_null = {M: all_null}
         choice = msrc.astype(jnp.uint8)
@@ -697,33 +773,36 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
                  (i1_lo, i1_hi, i1_null, 1), (d1_lo, d1_hi, d1_null, 1)]
         all_null = mm_null & op1_null & i1_null & d1_null
 
-        # I1/D1 with open-vs-ext sub-choice (ext wins ties: prio 1 > 0)
+        # I1/D1 with open-vs-ext sub-choice (ext wins ties: prio 1 > 0).
+        # All-invalid cells yield the packed sentinel -2^30 >> 3 = -2^27:
+        # a null-ish value indistinguishable from NULL everywhere it can
+        # be observed (candidate `>= 0` guards, bounds checks, trim), so
+        # no separate raw-value fallback is computed; the ext bit is 0
+        # there since the sentinel's low bits are 0.
         i1o = _pack(_shift(op1_off, -1) + 1, 0)
         i1e = _pack(_shift(i1_off, -1) + 1, 1)
         i1p = jnp.maximum(i1o, i1e)
-        ins1 = jnp.where(i1p < 0, _shift(jnp.maximum(op1_off, i1_off), -1) + 1,
-                         i1p >> 3)
-        i1_ext_bit = (i1p >= 0) & ((i1p & 7) == 1)
+        ins1 = i1p >> 3
+        i1_ext_bit = (i1p & 7) == 1
         d1o = _pack(_shift(op1_off, +1), 0)
         d1e = _pack(_shift(d1_off, +1), 1)
         d1p = jnp.maximum(d1o, d1e)
-        del1 = jnp.where(d1p < 0, _shift(jnp.maximum(op1_off, d1_off), +1),
-                         d1p >> 3)
-        d1_ext_bit = (d1p >= 0) & ((d1p & 7) == 1)
+        del1 = d1p >> 3
+        d1_ext_bit = (d1p & 7) == 1
         mis = mm_off + 1
 
         if metric == DistanceMetric.GAP_AFFINE:
-            all_null_2p = None
             lo_n, hi_n = _compute_limits(parts)
-            # M argmax with global priorities X(5) > D1(3) > I1(1)
+            # M argmax with global priorities X(5) > D1(3) > I1(1);
+            # all-invalid cells give pr == 0 -> MSRC_NONE and a null-ish
+            # value (see the I1/D1 comment above)
             pm = jnp.maximum(_pack(mis, 5),
                              jnp.maximum(_pack(del1, 3), _pack(ins1, 1)))
-            mvals = jnp.where(pm < 0,
-                              jnp.maximum(mis, jnp.maximum(del1, ins1)),
-                              pm >> 3)
-            msrc = jnp.where(pm < 0, MSRC_NONE,
-                             jnp.where((pm & 7) == 5, MSRC_X,
-                                       jnp.where((pm & 7) == 3, MSRC_D1, MSRC_I1)))
+            mvals = pm >> 3
+            pr = pm & 7
+            msrc = jnp.where(pr == 5, MSRC_X,
+                             jnp.where(pr == 3, MSRC_D1,
+                                       jnp.where(pr == 1, MSRC_I1, MSRC_NONE)))
             outs = {M: mvals, I1: ins1, D1: del1}
             out_null = {M: all_null,
                         I1: op1_null & i1_null,
@@ -743,29 +822,25 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
             i2o = _pack(_shift(op2_off, -1) + 1, 0)
             i2e_ = _pack(_shift(i2_off, -1) + 1, 1)
             i2p = jnp.maximum(i2o, i2e_)
-            ins2 = jnp.where(i2p < 0,
-                             _shift(jnp.maximum(op2_off, i2_off), -1) + 1,
-                             i2p >> 3)
-            i2_ext_bit = (i2p >= 0) & ((i2p & 7) == 1)
+            ins2 = i2p >> 3
+            i2_ext_bit = (i2p & 7) == 1
             d2o = _pack(_shift(op2_off, +1), 0)
             d2e_ = _pack(_shift(d2_off, +1), 1)
             d2p = jnp.maximum(d2o, d2e_)
-            del2 = jnp.where(d2p < 0,
-                             _shift(jnp.maximum(op2_off, d2_off), +1),
-                             d2p >> 3)
-            d2_ext_bit = (d2p >= 0) & ((d2p & 7) == 1)
-            # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1)
+            del2 = d2p >> 3
+            d2_ext_bit = (d2p & 7) == 1
+            # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1);
+            # pr == 0 <=> all candidates invalid -> MSRC_NONE
             pm = functools.reduce(jnp.maximum, [
                 _pack(mis, 5), _pack(del2, 4), _pack(del1, 3),
                 _pack(ins2, 2), _pack(ins1, 1)])
-            raw = functools.reduce(jnp.maximum, [mis, del2, del1, ins2, ins1])
-            mvals = jnp.where(pm < 0, raw, pm >> 3)
+            mvals = pm >> 3
             pr = pm & 7
-            msrc = jnp.where(pm < 0, MSRC_NONE,
-                             jnp.where(pr == 5, MSRC_X,
-                                       jnp.where(pr == 4, MSRC_D2,
-                                                 jnp.where(pr == 3, MSRC_D1,
-                                                           jnp.where(pr == 2, MSRC_I2, MSRC_I1)))))
+            msrc = jnp.where(pr == 5, MSRC_X,
+                             jnp.where(pr == 4, MSRC_D2,
+                                       jnp.where(pr == 3, MSRC_D1,
+                                                 jnp.where(pr == 2, MSRC_I2,
+                                                           jnp.where(pr == 1, MSRC_I1, MSRC_NONE)))))
             outs = {M: mvals, I1: ins1, D1: del1, I2: ins2, D2: del2}
             out_null = {M: all_null,
                         I1: op1_null & i1_null, D1: op1_null & d1_null,
@@ -798,38 +873,40 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
     lo_n = jnp.clip(lo_n, cfg.kmin + 2, cfg.kmin + W - 3)
     hi_n = jnp.clip(hi_n, cfg.kmin + 2, cfg.kmin + W - 3)
 
-    # write outputs: only active, non-null-step pairs produce wavefronts
+    # write outputs: only active, non-null-step pairs produce wavefronts.
+    # All components are stacked on a leading axis so the trim reductions
+    # and the ring update run once per step instead of once per component
+    # (the step is launch/latency-bound, not bandwidth-bound on TPU).
     write = active & (~null_step)
     band = _band_mask(cfg, lo_n, hi_n) & write[:, None]
 
-    new_offsets = state["offsets"]
-    new_lo = state["lo"]
-    new_hi = state["hi"]
-    for comp, vals in outs.items():
-        if comp == M:
-            # M is always materialized on a non-null step
-            # (reference: wavefront_compute.c:438-443)
-            produced = write
-        else:
-            produced = write & (~out_null[comp])
-        cm = band & produced[:, None]
-        arr = jnp.where(cm, vals, NULL)
-        # trim ends (reference: wavefront_compute.c:571-624); the null-step
-        # seeding path performs no trim (no process_ends there)
-        tlo, thi = _trim_ends(cfg, arr, lo_n, hi_n, plen, tlen)
-        if comp == M:
-            tlo = jnp.where(seeded_null, lo_n, tlo)
-            thi = jnp.where(seeded_null, hi_n, thi)
-        tlo = jnp.where(produced, tlo, 1)
-        thi = jnp.where(produced, thi, -1)
-        arr = _apply_band(arr, _band_mask(cfg, tlo, thi))
-        new_offsets = new_offsets.at[comp, slot].set(arr)
-        new_lo = new_lo.at[comp, slot].set(tlo)
-        new_hi = new_hi.at[comp, slot].set(thi)
+    comps = sorted(outs)  # M(0), I1(1), D1(2)[, I2(3), D2(4)] -- ring order
+    assert comps == list(range(len(comps)))
+    vals3 = jnp.stack([outs[c] for c in comps])  # [nc, B, W]
+    # M is always materialized on a non-null step
+    # (reference: wavefront_compute.c:438-443)
+    prod3 = jnp.stack([write if c == M else write & (~out_null[c])
+                       for c in comps])          # [nc, B]
+    arr3 = jnp.where(band[None] & prod3[:, :, None], vals3, NULL)
+    # trim ends (reference: wavefront_compute.c:571-624); the null-step
+    # seeding path performs no trim (no process_ends there)
+    tlo3, thi3 = _trim_ends(cfg, arr3, jnp.broadcast_to(lo_n, prod3.shape),
+                            jnp.broadcast_to(hi_n, prod3.shape), plen, tlen)
+    if cfg.span == AlignmentSpan.ENDS_FREE and cfg.match != 0:
+        tlo3 = tlo3.at[M].set(jnp.where(seeded_null, lo_n, tlo3[M]))
+        thi3 = thi3.at[M].set(jnp.where(seeded_null, hi_n, thi3[M]))
+    tlo3 = jnp.where(prod3, tlo3, 1)
+    thi3 = jnp.where(prod3, thi3, -1)
+    karr_w = jnp.arange(cfg.W, dtype=jnp.int32) + cfg.kmin
+    band3 = (karr_w >= tlo3[..., None]) & (karr_w <= thi3[..., None])
+    arr3 = jnp.where(band3, arr3, NULL)
 
-    state["offsets"] = new_offsets
-    state["lo"] = new_lo
-    state["hi"] = new_hi
+    state["offsets"] = jax.lax.dynamic_update_slice(
+        state["offsets"], arr3[:, None], (0, slot, 0, 0))
+    state["lo"] = jax.lax.dynamic_update_slice(
+        state["lo"], tlo3[:, None], (0, slot, 0))
+    state["hi"] = jax.lax.dynamic_update_slice(
+        state["hi"], thi3[:, None], (0, slot, 0))
     state["m_exists"] = state["m_exists"].at[slot].set(write)
 
     if cfg.record_choices:
@@ -903,20 +980,20 @@ def _step_compute_edit(cfg, state, plen, tlen, frees, active):
         cand_i = _pack(ins_src + 1, 1)
         cand_d = _pack(del_src, 3)
         pm = jnp.maximum(cand_i, cand_d)
-        mvals = jnp.where(pm < 0, jnp.maximum(ins_src + 1, del_src), pm >> 3)
-        msrc = jnp.where(pm < 0, MSRC_NONE,
-                         jnp.where((pm & 7) == 3, MSRC_D1, MSRC_I1))
+        mvals = pm >> 3  # all-invalid -> null-ish (see _step_compute)
+        pr = pm & 7
+        msrc = jnp.where(pr == 3, MSRC_D1,
+                         jnp.where(pr == 1, MSRC_I1, MSRC_NONE))
     else:
         cand_x = _pack(p_off + 1, 5)
         cand_i = _pack(ins_src + 1, 1)
         cand_d = _pack(del_src, 3)
         pm = functools.reduce(jnp.maximum, [cand_x, cand_d, cand_i])
-        raw = jnp.maximum(del_src, jnp.maximum(ins_src, p_off) + 1)
-        mvals = jnp.where(pm < 0, raw, pm >> 3)
+        mvals = pm >> 3
         pr = pm & 7
-        msrc = jnp.where(pm < 0, MSRC_NONE,
-                         jnp.where(pr == 5, MSRC_X,
-                                   jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
+        msrc = jnp.where(pr == 5, MSRC_X,
+                         jnp.where(pr == 3, MSRC_D1,
+                                   jnp.where(pr == 1, MSRC_I1, MSRC_NONE)))
     h = mvals
     v = mvals - karr[None, :]
     bad = (h < 0) | (h > tlen[:, None]) | (v < 0) | (v > plen[:, None])
@@ -952,10 +1029,14 @@ def _step_compute_edit(cfg, state, plen, tlen, frees, active):
 # ===========================================================================
 
 def _terminate_end2end(cfg, off, lo, hi, exists, plen, tlen):
-    """(reference: wavefront_termination.c:37-114, component_end = M)"""
+    """(reference: wavefront_termination.c:37-114, component_end = M)
+
+    The target-diagonal read is a one-hot masked reduction rather than a
+    gather (TPU vector gathers serialize; the [B, W] stream is cheap).
+    """
     ak = tlen - plen
-    idx = jnp.clip(ak - cfg.kmin, 0, cfg.W - 1)
-    cell = jnp.take_along_axis(off, idx[:, None], axis=1)[:, 0]
+    karr = jnp.arange(cfg.W, dtype=jnp.int32) + cfg.kmin
+    cell = jnp.max(jnp.where(karr == ak[:, None], off, NULL), axis=1)
     hit = exists & (lo <= ak) & (ak <= hi) & (cell >= tlen)
     return hit, ak, tlen
 
@@ -973,10 +1054,12 @@ def _terminate_endsfree(cfg, off, lo, hi, exists, plen, tlen, frees):
     done_h = valid & (h >= tlen[:, None]) & ((plen[:, None] - v) <= pef)
     done_v = valid & (v >= plen[:, None]) & ((tlen[:, None] - h) <= tef)
     done = done_h | done_v
-    hit = exists & done.any(axis=1)
-    first = jnp.argmax(done, axis=1).astype(jnp.int32)
-    kk = first + cfg.kmin
-    end_off = jnp.take_along_axis(off, first[:, None], axis=1)[:, 0]
+    iota = jnp.arange(W, dtype=jnp.int32)
+    first = jnp.min(jnp.where(done, iota, W), axis=1)
+    hit = exists & (first < W)
+    firstc = jnp.minimum(first, W - 1)
+    kk = firstc + cfg.kmin
+    end_off = jnp.max(jnp.where(iota == firstc[:, None], off, NULL), axis=1)
     return hit, kk, end_off
 
 
@@ -1183,6 +1266,8 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
     mode = _extend_mode(cfg, txt.shape[1])
     if mode == "bits":
         lcp = _build_eq_bits(cfg, pat, txt)
+    elif mode == "onehot4":
+        lcp = _build_lcp_table_h4(cfg, pat, txt)
     elif mode == "onehot":
         lcp = _build_lcp_table_h(cfg, pat, txt)
     elif mode == "table":
@@ -1212,9 +1297,14 @@ def _run_loop(cfg: EngineConfig, state, pat, txt, plen, tlen, frees,
         active = active & ~dead
 
         # --- extension (only pairs with an existing M wavefront) ---
-        band = _band_mask(cfg, lo, hi) & (active & exists)[:, None]
+        # No band mask needed: the storage invariant keeps cells outside
+        # [lo, hi] at NULL (< 0), so the extension's own off >= 0 guard
+        # already excludes them. [B, 1] broadcasts against [B, W] inside.
+        band = (active & exists)[:, None]
         if mode == "bits":
             off = _extend_band_bits(cfg, lcp, tlen, off, band)
+        elif mode == "onehot4":
+            off = _extend_band_lcp_h4(cfg, lcp, tlen, off, band)
         elif mode == "onehot":
             off = _extend_band_lcp_h(cfg, lcp, tlen, off, band)
         elif mode == "table":
@@ -1531,26 +1621,28 @@ def _traceback_walk(cfg: EngineConfig, choices, final_s, end_k, ok):
     step = _walk_step_fn(cfg, B)
     carry0 = (final_s, end_k, jnp.zeros((B,), jnp.int32), ok,
               jnp.zeros((B,), bool))
-    # walk as an early-exit loop from the highest reached score downward:
-    # levels above max(final_s) hold no ops, and most batches finish at a
-    # small fraction of S_cap (a full reverse scan pays for every level)
-    lvl0 = jnp.max(jnp.where(ok, final_s, 0))
-    ops0 = jnp.zeros((cfg.S_cap, B), jnp.uint8)
+    # walk as a chunked reverse scan CONSUMING the choices tensor as its
+    # streamed xs. A while_loop that merely *reads* choices must carry
+    # the whole [S_cap, B, W] buffer as a loop input, and inside a larger
+    # fused program XLA's copy-insertion then re-copies it every
+    # iteration (measured: 2.5 ms fused vs 0.15 ms standalone for the
+    # same walk); scan streams one chunk per iteration instead. CH levels
+    # per scan step amortize the [B]-sized op chain's fixed costs.
+    CH = 4 if cfg.S_cap % 4 == 0 else (2 if cfg.S_cap % 2 == 0 else 1)
+    nch = cfg.S_cap // CH
+    ch_view = choices.reshape(nch, CH, B, choices.shape[2])
+    bases = jnp.arange(nch, dtype=jnp.int32) * CH
 
-    def cond(c):
-        lvl, carry, _ = c
-        return (lvl >= 0) & carry[3].any()
+    def chunk_step(carry, xs):
+        base, chs = xs
+        emits = [None] * CH
+        for j in range(CH - 1, -1, -1):
+            carry, emits[j] = step(carry, (base + j, chs[j]))
+        return carry, jnp.stack(emits)
 
-    def body(c):
-        lvl, carry, ops = c
-        ch = jax.lax.dynamic_index_in_dim(choices, lvl, axis=0,
-                                          keepdims=False)
-        carry, emit = step(carry, (lvl, ch))
-        ops = jax.lax.dynamic_update_index_in_dim(ops, emit, lvl, axis=0)
-        return lvl - 1, carry, ops
-
-    _, (s_f, k_f, comp_f, act_f, fallback), ops_fwd = jax.lax.while_loop(
-        cond, body, (lvl0, carry0, ops0))
+    (s_f, k_f, comp_f, act_f, fallback), ops_fwd = jax.lax.scan(
+        chunk_step, carry0, (bases, ch_view), reverse=True)
+    ops_fwd = ops_fwd.reshape(cfg.S_cap, B)
     # still active after all levels -> inconsistent chain
     fallback = fallback | act_f
     n_ops = jnp.sum((ops_fwd != 0).astype(jnp.int32), axis=0)

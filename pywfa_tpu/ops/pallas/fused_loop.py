@@ -70,12 +70,14 @@ def _ctz32(m):
 def _kernel(cfg, TB,
             plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref,
             choices_ref, res_ref,
-            off_ref, lohi_ref):
+            off_ref, lohi_ref, ch_scratch, ch_sem):
     """One tile's full score loop.
 
     plen/tlen: [TB, 1] i32; frees: [TB, 4] i32; msteps: [1, 1] SMEM
     bits: [NQ, TB, W] u32 packed equality words (engine._build_eq_bits);
-    choices out: [S_cap, TB, W] u8
+    choices out: [S_cap, TB, W] u8 resident in HBM (each level is written
+    once by an async copy from `ch_scratch`, so VMEM never holds the
+    whole traceback record -- this is what lets TB grow to 256+)
     res out: [TB, 8] i32 (status, final_s, end_k, end_off)
     scratch off: [3 * scope, TB, W] i32; lohi: [3 * scope, TB, 2] i32
     """
@@ -94,7 +96,23 @@ def _kernel(cfg, TB,
     tlen = tlen_ref[:, :]
     msteps = msteps_ref[0, 0]
 
-    choices_ref[:, :, :] = jnp.zeros((S_cap, TB, W), jnp.uint8)
+    # this tile's slice of the HBM-resident choices output
+    tile0 = pl.program_id(0) * TB
+
+    def ch_store(lvl):
+        return pltpu.make_async_copy(
+            ch_scratch, choices_ref.at[lvl, pl.ds(tile0, TB), :], ch_sem)
+
+    # zero-fill all choice levels (byte parity with the XLA engine's
+    # zero-initialized tensor; live levels are overwritten below)
+    ch_scratch[:, :] = jnp.zeros((TB, W), jnp.uint8)
+
+    def zfill(lvl, _):
+        cp = ch_store(lvl)
+        cp.start()
+        cp.wait()
+        return 0
+    jax.lax.fori_loop(0, S_cap, zfill, 0)
 
     # --- WF0 (reference: wavefront_aligner.c:251-310) ---
     if cfg.span == AlignmentSpan.ENDS_FREE and cfg.match == 0:
@@ -187,8 +205,11 @@ def _kernel(cfg, TB,
         full32 = jnp.uint32(0xFFFFFFFF)
         idx = jnp.clip(m_off, 0, NQ * 32 - 1)
         q0 = idx >> 5
-        r = (idx & 31).astype(jnp.uint32)
-        head = full32 << r
+        r = idx & 31
+        # 0xFFFFFFFF << r without a variable shift (no per-lane shifts on
+        # the VPU): build 2^r from its float32 exponent bits and negate
+        p2f = jax.lax.bitcast_convert_type((r + 127) << 23, jnp.float32)
+        head = jnp.uint32(0) - jax.lax.convert_element_type(p2f, jnp.uint32)
         fm = jnp.full((TB, W), NQ * 32, jnp.int32)
         for q in range(NQ):
             sel = jnp.where(q0 == q, head,
@@ -310,8 +331,11 @@ def _kernel(cfg, TB,
         off_ref[D1 * scope + slot1] = d_arr
         lohi_ref[D1 * scope + slot1] = jnp.concatenate([d_tlo, d_thi], axis=1)
 
-        choices_ref[s1] = jnp.where(band_mask(lo_n, hi_n) & write, choice,
-                                    jnp.uint8(0))
+        ch_scratch[:, :] = jnp.where(band_mask(lo_n, hi_n) & write, choice,
+                                     jnp.uint8(0))
+        cp = ch_store(s1)
+        cp.start()
+        cp.wait()
 
         hit_max = active & (s1 >= msteps)
         status = jnp.where(hit_max, ST_MAX_STEPS, status)
@@ -379,8 +403,7 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((S_cap, TB, W), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TB, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -388,6 +411,8 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
         scratch_shapes=[
             pltpu.VMEM((3 * scope, TB, W), jnp.int32),
             pltpu.VMEM((3 * scope, TB, 2), jnp.int32),
+            pltpu.VMEM((TB, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),

@@ -94,7 +94,7 @@ def test_score_only():
     _compare(dict(scope="score", span="end-to-end"), pairs)
 
 
-@pytest.mark.parametrize("mode", ["bits", "onehot", "table"])
+@pytest.mark.parametrize("mode", ["bits", "onehot", "onehot4", "table"])
 def test_extension_mode_forced(mode, monkeypatch):
     # every extension formulation must satisfy the same byte contract
     # (PYWFA_EXTEND is captured into cfg.extend_force at config build)

@@ -76,9 +76,8 @@ def main():
                                             frees, ms)
         return E._pack_full(cfg, out)
 
-    for TB in (32, 64, 128, 256):
-        if (cfg.S_cap * TB * cfg.W + 3 * cfg.scope * TB * cfg.W * 4
-                ) > 12 * 2**20:
+    for TB in (32, 64, 128, 256, 512):
+        if 3 * cfg.scope * TB * cfg.W * 4 > 10 * 2**20:
             continue
         def run_p():
             return pallas_full(cfg, TB, pat, txt, plen, tlen, frees, ms)
