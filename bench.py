@@ -39,6 +39,7 @@ def make_pairs(rng, n, length, divergence):
 def main():
     import jax
     import jax.numpy as jnp
+    from pywfa_tpu import batch as BT
     from pywfa_tpu.align import WavefrontAligner
     from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
     from pywfa_tpu.ops import engine as E
@@ -55,19 +56,37 @@ def main():
     cfg = E.full_config(attr, L, L, W=W, S_cap=S_cap)
     C = cfg.extend_chunk
 
-    pat = jnp.asarray(encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL))
-    txt = jnp.asarray(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL))
-    plen = jnp.full((B,), L, dtype=jnp.int32)
-    tlen = jnp.full((B,), L, dtype=jnp.int32)
-    frees = jnp.zeros((B, 4), dtype=jnp.int32)
+    pat_np = encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL)
+    txt_np = encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL)
+    plens_np = np.full((B,), L, dtype=np.int32)
+    tlens_np = np.full((B,), L, dtype=np.int32)
+    plen = jnp.asarray(plens_np)
+    tlen = jnp.asarray(tlens_np)
+    frees_np = np.zeros((B, 4), dtype=np.int32)
+    frees = jnp.asarray(frees_np)
     max_steps = jnp.int32(2**31 - 1)
 
+    # production path selection (mirrors batch._run_engine): fused Pallas
+    # pipeline when eligible, else the packed XLA engine. Inputs are staged
+    # on-device once -- the streaming path overlaps pushes with compute, so
+    # sustained per-batch time is the device pipeline time measured here
+    # (on tunneled dev links a synchronous push costs a full RPC and would
+    # measure the tunnel, not the chip).
+    from pywfa_tpu.batch import pack_tokens
+    from pywfa_tpu.ops.pallas import fused_loop
+    fused2 = jnp.asarray(np.concatenate(
+        [pack_tokens(pat_np, plens_np), pack_tokens(txt_np, tlens_np)],
+        axis=1))
+    TB = BT.PALLAS_TB
+    use_pallas = (BT.USE_PALLAS and fused_loop.supported(cfg)
+                  and jax.default_backend() != "cpu" and B % TB == 0)
+
     def run():
-        # production path: score loop + traceback walk + output packing in
-        # ONE compiled call, ONE device array out (single RPC each way on
-        # tunneled TPU links)
-        return E.align_batch_full(cfg, pat, txt, plen, tlen, frees,
-                                  max_steps)
+        if use_pallas:
+            return E.align_batch_pallas_packed_full(
+                cfg, TB, B, fused2, plen, tlen, frees, max_steps)
+        return E.align_batch_packed_full(cfg, fused2, plen, tlen, frees,
+                                         max_steps)
 
     # warm-up / compile + correctness probe
     packed = np.asarray(run())

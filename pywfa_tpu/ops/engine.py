@@ -147,7 +147,10 @@ def full_config(attr, plen: int, tlen: int, wildcard: int = -1,
     W_full = 2 * max(plen, tlen) + 2 * scope_pad + 8
     if W is None:
         W = W_full
-    W = _round_up(max(W, 32), 64)
+    # lane-width multiples: int32 band rows tile to 128 lanes on TPU, so
+    # W=128k costs nothing extra vs W=64k' and keeps every HBM DMA slice
+    # of the band (Pallas choices stream) tiling-aligned
+    W = _round_up(max(W, 32), 128)
     if S_cap is None:
         S_cap = _worst_case_score(pen, plen, tlen) + 2
         S_cap = min(S_cap, attr.system.max_alignment_steps + 2)
@@ -1712,6 +1715,47 @@ def align_batch_packed_full(cfg: EngineConfig, packed, plen, tlen, frees,
     pat, txt = _decode_packed(cfg, packed, plen, tlen)
     return _pack_full(cfg, _align_core(cfg, pat, txt, plen, tlen, frees,
                                        max_steps))
+
+
+def _slice_out(out, nb):
+    """Trim TB-padding rows from a pallas output dict (no-op if nb == B)."""
+    if out["status"].shape[0] == nb:
+        return out
+    return {k: (v[:, :nb] if k == "choices" else
+                (v[:nb] if getattr(v, "ndim", 0) >= 1 else v))
+            for k, v in out.items()}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def align_batch_pallas_packed_full(cfg: EngineConfig, TB: int, nb: int,
+                                   packed, plen, tlen, frees, max_steps):
+    """Fused Pallas pipeline, 2-bit input: decode + eq-bits + the whole-
+    alignment Pallas kernel + traceback walk + packing in ONE compiled
+    call (one packed push, one packed pull -- same RPC discipline as
+    align_batch_packed_full). Inputs are host-padded to a TB multiple;
+    `nb` is the real batch size (pad rows are sliced off before packing).
+    """
+    from .pallas import fused_loop
+    plen = plen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    pat, txt = _decode_packed(cfg, packed, plen, tlen)
+    bits = _build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, bits, plen, tlen, frees,
+                                        max_steps)
+    return _pack_full(cfg, _slice_out(out, nb))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def align_batch_pallas_fused_full(cfg: EngineConfig, TB: int, nb: int,
+                                  fused, plen, tlen, frees, max_steps):
+    """As align_batch_pallas_packed_full but from fused token rows (the
+    non-ACGT fallback push format)."""
+    from .pallas import fused_loop
+    pat, txt = _decode_fused(cfg, fused)
+    bits = _build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, bits, plen, tlen, frees,
+                                        max_steps)
+    return _pack_full(cfg, _slice_out(out, nb))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

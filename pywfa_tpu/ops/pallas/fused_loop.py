@@ -49,7 +49,10 @@ def supported(cfg) -> bool:
             and cfg.strategy == 0
             and cfg.match == 0
             and cfg.use_lcp_table
-            and cfg.record_choices)
+            and cfg.record_choices
+            # the choices HBM-stream DMA slices [TB, W] out of
+            # [S_cap, B, W]; Mosaic requires the lane dim 128-aligned
+            and cfg.W % 128 == 0)
 
 
 def _ctz32(m):
@@ -205,11 +208,11 @@ def _kernel(cfg, TB,
         full32 = jnp.uint32(0xFFFFFFFF)
         idx = jnp.clip(m_off, 0, NQ * 32 - 1)
         q0 = idx >> 5
-        r = idx & 31
-        # 0xFFFFFFFF << r without a variable shift (no per-lane shifts on
-        # the VPU): build 2^r from its float32 exponent bits and negate
-        p2f = jax.lax.bitcast_convert_type((r + 127) << 23, jnp.float32)
-        head = jnp.uint32(0) - jax.lax.convert_element_type(p2f, jnp.uint32)
+        r = (idx & 31).astype(jnp.uint32)
+        # Mosaic lowers per-lane variable shifts natively (unlike XLA:TPU,
+        # which expands them to select chains); float->uint casts are the
+        # unsupported thing here, so keep the plain shift
+        head = full32 << r
         fm = jnp.full((TB, W), NQ * 32, jnp.int32)
         for q in range(NQ):
             sel = jnp.where(q0 == q, head,
