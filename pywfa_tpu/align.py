@@ -522,9 +522,7 @@ class WavefrontAligner:
 
     @pattern_begin_free.setter
     def pattern_begin_free(self, pattern_begin_free):
-        # WF-extension mode (reference: alignment_form_t.extension,
-        # wavefront_align.c:57-63 autoconfig + maxtrim on terminate)
-        self._extension = bool(extension)
+        # plain assignment (reference: align.pyx:473-475)
         self._pattern_begin_free = pattern_begin_free
 
     @property

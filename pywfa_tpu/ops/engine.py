@@ -635,6 +635,17 @@ def _pack(value, prio):
     return jnp.where(value >= 0, (value << 3) | prio, jnp.int32(-2**30))
 
 
+def _unpack(packed):
+    """packed >> 3, restoring exact NULL for all-invalid cells.
+
+    Valid packed values are always >= 0 (offsets are non-negative when
+    valid), so `packed < 0` identifies the all-invalid sentinel; mapping
+    it to NULL keeps the documented invariant that unreachable offsets
+    sit below NULL_THRESHOLD (they'd otherwise unpack to -2^27, which is
+    above it)."""
+    return jnp.where(packed < 0, NULL, packed >> 3)
+
+
 # ===========================================================================
 # Step function
 # ===========================================================================
@@ -760,7 +771,7 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
         cand_i = _pack(ins1 + 1, 1)
         cand_d = _pack(del1, 3)
         packed = jnp.maximum(cand_d, jnp.maximum(cand_x, cand_i))
-        mvals = packed >> 3  # all-invalid -> -2^27, null-ish (see affine)
+        mvals = _unpack(packed)  # all-invalid -> exact NULL
         pr = packed & 7
         msrc = jnp.where(pr == 5, MSRC_X,
                          jnp.where(pr == 3, MSRC_D1,
@@ -777,20 +788,18 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
         all_null = mm_null & op1_null & i1_null & d1_null
 
         # I1/D1 with open-vs-ext sub-choice (ext wins ties: prio 1 > 0).
-        # All-invalid cells yield the packed sentinel -2^30 >> 3 = -2^27:
-        # a null-ish value indistinguishable from NULL everywhere it can
-        # be observed (candidate `>= 0` guards, bounds checks, trim), so
-        # no separate raw-value fallback is computed; the ext bit is 0
-        # there since the sentinel's low bits are 0.
+        # All-invalid cells unpack to exact NULL (see _unpack), preserving
+        # the below-NULL_THRESHOLD invariant for unreachable offsets; the
+        # ext bit is 0 there since the sentinel's low bits are 0.
         i1o = _pack(_shift(op1_off, -1) + 1, 0)
         i1e = _pack(_shift(i1_off, -1) + 1, 1)
         i1p = jnp.maximum(i1o, i1e)
-        ins1 = i1p >> 3
+        ins1 = _unpack(i1p)
         i1_ext_bit = (i1p & 7) == 1
         d1o = _pack(_shift(op1_off, +1), 0)
         d1e = _pack(_shift(d1_off, +1), 1)
         d1p = jnp.maximum(d1o, d1e)
-        del1 = d1p >> 3
+        del1 = _unpack(d1p)
         d1_ext_bit = (d1p & 7) == 1
         mis = mm_off + 1
 
@@ -801,7 +810,7 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
             # value (see the I1/D1 comment above)
             pm = jnp.maximum(_pack(mis, 5),
                              jnp.maximum(_pack(del1, 3), _pack(ins1, 1)))
-            mvals = pm >> 3
+            mvals = _unpack(pm)
             pr = pm & 7
             msrc = jnp.where(pr == 5, MSRC_X,
                              jnp.where(pr == 3, MSRC_D1,
@@ -825,19 +834,19 @@ def _step_compute(cfg: EngineConfig, state, pat, txt, plen, tlen, frees, active)
             i2o = _pack(_shift(op2_off, -1) + 1, 0)
             i2e_ = _pack(_shift(i2_off, -1) + 1, 1)
             i2p = jnp.maximum(i2o, i2e_)
-            ins2 = i2p >> 3
+            ins2 = _unpack(i2p)
             i2_ext_bit = (i2p & 7) == 1
             d2o = _pack(_shift(op2_off, +1), 0)
             d2e_ = _pack(_shift(d2_off, +1), 1)
             d2p = jnp.maximum(d2o, d2e_)
-            del2 = d2p >> 3
+            del2 = _unpack(d2p)
             d2_ext_bit = (d2p & 7) == 1
             # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1);
             # pr == 0 <=> all candidates invalid -> MSRC_NONE
             pm = functools.reduce(jnp.maximum, [
                 _pack(mis, 5), _pack(del2, 4), _pack(del1, 3),
                 _pack(ins2, 2), _pack(ins1, 1)])
-            mvals = pm >> 3
+            mvals = _unpack(pm)
             pr = pm & 7
             msrc = jnp.where(pr == 5, MSRC_X,
                              jnp.where(pr == 4, MSRC_D2,
