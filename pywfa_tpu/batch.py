@@ -67,13 +67,23 @@ def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int,
 
 def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
                 k_start: int, plen: int, tlen: int,
-                wildcard: Optional[int]) -> str:
+                wildcard: Optional[int],
+                cap_h: Optional[int] = None) -> str:
     """Expand a (sparse, forward-order) walk-op stream into per-base ops.
 
     Match runs are re-derived by greedy forward extension, which is exact for
     WFA paths because stored offsets are maximally extended (the same
     argument that makes the reference's pcigar unpack exact,
     wavefront_pcigar.c unpack + wavefront_backtrace_buffer.c).
+
+    cap_h: for dropped (z-drop) partial walks, the FINAL run is FORCED to
+    `max(0, cap_h - h)` 'M' ops with no equality check: the reference
+    backtraces from the recorded historic-max offset, which may be stale
+    relative to the drop-score wavefront, and writes
+    `num_matches = end_offset - predecessor` match ops even across real
+    mismatches (reference: wavefront_backtrace.c:425-436 takes num_matches
+    from the passed-in offset, not the sequences). Intermediate runs always
+    reconnect stored (maximally extended) offsets, where greedy == exact.
     """
     pa = np.frombuffer(pattern, dtype=np.uint8)
     ta = np.frombuffer(text, dtype=np.uint8)
@@ -88,8 +98,15 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
     if v > 0:
         parts.append("D" * v)
 
-    def extend() -> None:
+    def extend(final: bool) -> None:
         nonlocal v, h
+        if final and cap_h is not None:
+            run = max(0, cap_h - h)  # forced (see docstring)
+            if run > 0:
+                parts.append("M" * run)
+                v += run
+                h += run
+            return
         n = min(plen - v, tlen - h)
         if n <= 0:
             return
@@ -104,8 +121,10 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
             v += run
             h += run
 
-    extend()  # start-cell extension
-    for tok in np.asarray(ops_fwd[ops_fwd != 0]):
+    toks = np.asarray(ops_fwd[ops_fwd != 0])
+    last_i = len(toks) - 1
+    extend(last_i < 0)  # start-cell extension
+    for i, tok in enumerate(toks):
         tok = int(tok)
         op = tok & 3
         if op == E.WOP_X:
@@ -119,7 +138,7 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
             parts.append("D")
             v += 1
         if tok & E.WOP_MFLAG:
-            extend()
+            extend(i == last_i)
     return "".join(parts)
 
 
@@ -334,6 +353,70 @@ def _oracle_one(attr: AlignerAttributes, pattern: bytes, text: bytes,
                        r.wf_score, r.dropped)
 
 
+def _unreachable_result(pen, scope_full: bool, wf_s: int, end_k: int,
+                        end_off: int, ops: str) -> "BatchResult":
+    """Native result assembly for a dropped/unreachable pair.
+
+    Mirrors the reference's terminate paths byte-exactly
+    (wavefront_unialign.c:158-173 score scope, :211-235 full scope):
+    z-dropped pairs carry the historic-max end position; heuristic
+    dead-ends carry no end position (DIAGONAL_NULL/OFFSET_NULL mirror).
+    `ops` is the already match-filled op string ('' when no walk ran);
+    full scope applies cigar_maxtrim and always reports ALG_PARTIAL.
+    """
+    from .constants import DIAGONAL_NULL
+    if end_off <= OFFSET_NULL // 2:  # no recorded end position
+        end_k, end_off = DIAGONAL_NULL, OFFSET_NULL
+    if not scope_full:
+        ev = end_off - end_k
+        eh = end_off
+        sc = classic_score(pen, ev, eh, wf_s)
+        return BatchResult(STATUS_ALG_PARTIAL, sc, "", ev, eh, wf_s, True)
+    cig = Cigar(ops=ops)
+    cigar_maxtrim(cig, pen)
+    return BatchResult(STATUS_ALG_PARTIAL, cig.score, cig.ops, cig.end_v,
+                       cig.end_h, wf_s, True)
+
+
+def _maxtrim_result(pen, sc: int, ops: str, ev: int, eh: int, wf_s: int
+                    ) -> "BatchResult":
+    """Extension-mode post-processing of a COMPLETED alignment: trim to the
+    max-scoring prefix; trimmed => ALG_PARTIAL, untouched => ALG_COMPLETED
+    (reference: wavefront_unialign.c:211-227 extension column)."""
+    cig = Cigar(ops=ops, score=sc, end_v=ev, end_h=eh)
+    trimmed = cigar_maxtrim(cig, pen)
+    status = STATUS_ALG_PARTIAL if trimmed else STATUS_ALG_COMPLETED
+    return BatchResult(status, cig.score, cig.ops, cig.end_v, cig.end_h,
+                       wf_s, False)
+
+
+def _build_frees(attr0, B: int, plens: np.ndarray, tlens: np.ndarray
+                 ) -> np.ndarray:
+    """Per-pair ends-free slack matrix [B, 4] (pattern_begin, pattern_end,
+    text_begin, text_end), clamped to each pair's lengths. Extension mode
+    gets the reference's WF-extend preset per pair: begin 0, end = length
+    (reference: wavefront_align.c:57-63)."""
+    form = attr0.form
+    if form.span != AlignmentSpan.ENDS_FREE:
+        return np.zeros((B, 4), dtype=np.int32)
+    if form.extension:
+        frees_np = np.zeros((B, 4), dtype=np.int32)
+        frees_np[:, 1] = plens
+        frees_np[:, 3] = tlens
+        return frees_np
+    frees_np = np.tile(np.array([[form.pattern_begin_free,
+                                  form.pattern_end_free,
+                                  form.text_begin_free,
+                                  form.text_end_free]], dtype=np.int32),
+                       (B, 1))
+    # per-pair clamp: frees may not exceed the sequence lengths
+    frees_np[:, 0] = np.minimum(frees_np[:, 0], plens)
+    frees_np[:, 1] = np.minimum(frees_np[:, 1], plens)
+    frees_np[:, 2] = np.minimum(frees_np[:, 2], tlens)
+    frees_np[:, 3] = np.minimum(frees_np[:, 3], tlens)
+    return frees_np
+
+
 def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                            plens, tlens):
     """Segmented execution with host-streamed traceback blocks.
@@ -361,17 +444,7 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
     txt = jnp.asarray(txt_np)
     plen = jnp.asarray(plens)
     tlen = jnp.asarray(tlens)
-    form = attr0.form
-    if form.span == AlignmentSpan.ENDS_FREE:
-        frees_np = np.tile(np.array([[form.pattern_begin_free,
-                                      form.pattern_end_free,
-                                      form.text_begin_free,
-                                      form.text_end_free]], dtype=np.int32),
-                           (B, 1))
-        for col, lens in ((0, plens), (1, plens), (2, tlens), (3, tlens)):
-            frees_np[:, col] = np.minimum(frees_np[:, col], lens)
-    else:
-        frees_np = np.zeros((B, 4), dtype=np.int32)
+    frees_np = _build_frees(attr0, B, plens, tlens)
     frees = jnp.asarray(frees_np)
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
@@ -398,10 +471,12 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
     oracle_idx = []
 
     clean = (status == E.ST_END_REACHED)
+    walkable = clean | ((status == E.ST_END_UNREACHABLE)
+                        & (end_off > E.NULL_THRESHOLD))
     fb = np.zeros(B, dtype=bool)
-    if scope_full and clean.any():
+    if scope_full and walkable.any():
         # stitch the walk across segments, top to bottom
-        carry = E.walk_carry_init(final_s, end_k, jnp.asarray(clean))
+        carry = E.walk_carry_init(final_s, end_k, jnp.asarray(walkable))
         blocks = []
         for i in range(len(seg_choices) - 1, -1, -1):
             seg_base = jnp.int32(i * (K - 1))
@@ -420,6 +495,7 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                                       tlens, end_k, end_off, ops_all, n_ops,
                                       k_start, wildcard)
 
+    extension = attr0.form.extension
     for b in range(B):
         st = int(status[b])
         if st == E.ST_END_REACHED and (not scope_full):
@@ -443,12 +519,39 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                 if ev < int(plens[b]):
                     ops = ops + "D" * (int(plens[b]) - ev)
             sc = classic_score(pen, ev, eh, s)
-            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev, eh,
-                                     s, False)
+            if extension:
+                results[b] = _maxtrim_result(pen, sc, ops, ev, eh, s)
+            else:
+                results[b] = BatchResult(STATUS_ALG_COMPLETED, sc, ops, ev,
+                                         eh, s, False)
         elif st == E.ST_MAX_STEPS:
             results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
                                      -int(max_steps), "", 0, 0,
                                      int(final_s[b]), False)
+        elif st == E.ST_END_UNREACHABLE and (
+                not fb[b] or (scope_full and int(n_ops[b]) == 0)):
+            s = int(final_s[b])
+            ek = int(end_k[b])
+            eoff = int(end_off[b])
+            ops = ""
+            if scope_full and eoff > E.NULL_THRESHOLD:
+                ev, eh = eoff - ek, eoff
+                if fb[b] or ev <= 0 or eh <= 0:
+                    nm = min(ev, eh)
+                    ops = ("I" * (eh - nm) + "D" * (ev - nm) + "M" * nm
+                           + "I" * (int(tlens[b]) - eh)
+                           + "D" * (int(plens[b]) - ev))
+                else:
+                    ops = _match_fill(patterns[b], texts[b], ops_all[b],
+                                      int(n_ops[b]), int(k_start[b]),
+                                      int(plens[b]), int(tlens[b]), wildcard,
+                                      cap_h=eh)
+                    if eh < int(tlens[b]):
+                        ops = ops + "I" * (int(tlens[b]) - eh)
+                    if ev < int(plens[b]):
+                        ops = ops + "D" * (int(plens[b]) - ev)
+            results[b] = _unreachable_result(pen, scope_full, s, ek, eoff,
+                                             ops)
         else:
             oracle_idx.append(b)
 
@@ -645,12 +748,6 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
             text_end_free=min(f.text_end_free, maxLt)))
     attr0 = validate_alignment(attr, maxLp, maxLt)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
-    if attr0.form.extension:
-        # WF-extension mode (experimental in the reference,
-        # wavefront_align.c:57-63): complete alignments are maxtrim'd to
-        # their best-scoring prefix -- exact host path
-        return _Inflight(results=[_oracle_one(attr, p, t, wildcard)
-                                  for p, t in zip(patterns, texts)])
     # memory modes scale the on-device traceback budget; med/low/ultralow
     # force earlier segmentation (the reference's memory ladder,
     # wavefront_aligner.c:101-122, re-expressed for tensor storage)
@@ -687,20 +784,7 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL, lens=tlens)
     plen = jnp.asarray(plens)
     tlen = jnp.asarray(tlens)
-    form = attr0.form
-    if form.span == AlignmentSpan.ENDS_FREE:
-        frees_np = np.tile(np.array([[form.pattern_begin_free,
-                                      form.pattern_end_free,
-                                      form.text_begin_free,
-                                      form.text_end_free]], dtype=np.int32),
-                           (B, 1))
-        # per-pair clamp: frees may not exceed the sequence lengths
-        frees_np[:, 0] = np.minimum(frees_np[:, 0], plens)
-        frees_np[:, 1] = np.minimum(frees_np[:, 1], plens)
-        frees_np[:, 2] = np.minimum(frees_np[:, 2], tlens)
-        frees_np[:, 3] = np.minimum(frees_np[:, 3], tlens)
-    else:
-        frees_np = np.zeros((B, 4), dtype=np.int32)
+    frees_np = _build_frees(attr0, B, plens, tlens)
     frees = jnp.asarray(frees_np)
     max_steps_i = min(attr0.system.max_alignment_steps, 2**31 - 1)
     max_steps = jnp.int32(max_steps_i)
@@ -787,6 +871,8 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
     tlens_l = tlens.tolist()
     fb_l = fb.tolist()
 
+    extension = attr0.form.extension
+    end_off_l = end_off.tolist() if scope_full else eh_l
     for b in range(B):
         st = status_l[b]
         if st == E.ST_END_REACHED and (not scope_full):
@@ -808,16 +894,49 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
                     ops = ops + "I" * (tlens_l[b] - eh)
                 if ev < plens_l[b]:
                     ops = ops + "D" * (plens_l[b] - ev)
-            results[b] = BatchResult(STATUS_ALG_COMPLETED, sc_a[b], ops, ev,
-                                     eh, s, False)
+            if extension:
+                results[b] = _maxtrim_result(pen, sc_a[b], ops, ev, eh, s)
+            else:
+                results[b] = BatchResult(STATUS_ALG_COMPLETED, sc_a[b], ops,
+                                         ev, eh, s, False)
         elif st == E.ST_MAX_STEPS:
             results[b] = BatchResult(STATUS_MAX_STEPS_REACHED,
                                      -max_steps, "", 0, 0,
                                      final_s_l[b], False)
         elif st in (E.ST_OVERFLOW_W, E.ST_OVERFLOW_S) and not at_full_caps:
             escalate_idx.append(b)
+        elif st == E.ST_END_UNREACHABLE and (
+                not fb_l[b] or (scope_full and int(n_ops[b]) == 0)):
+            # dropped (z-drop) / heuristic dead-end: native assembly
+            # (reference: wavefront_unialign.c:158-173,211-235)
+            s = final_s_l[b]
+            eoff = end_off_l[b]
+            ops = ""
+            if scope_full and eoff > E.NULL_THRESHOLD:
+                ev, eh = ev_l[b], eh_l[b]
+                if fb_l[b] or ev <= 0 or eh <= 0:
+                    # end cell on the matrix boundary, or all backtrace
+                    # candidates null at the end cell itself (fb with zero
+                    # walked ops): the reference's loop exits immediately
+                    # and writes the forced beginning fill
+                    # (reference: wavefront_backtrace.c:347-356,505-525)
+                    nm = min(ev, eh)
+                    ops = ("I" * (eh - nm) + "D" * (ev - nm) + "M" * nm
+                           + "I" * (tlens_l[b] - eh)
+                           + "D" * (plens_l[b] - ev))
+                else:
+                    ops = _match_fill(patterns[b], texts[b], ops_fwd[b],
+                                      int(n_ops[b]), int(k_start[b]),
+                                      plens_l[b], tlens_l[b], wildcard,
+                                      cap_h=eh)
+                    if eh < tlens_l[b]:
+                        ops = ops + "I" * (tlens_l[b] - eh)
+                    if ev < plens_l[b]:
+                        ops = ops + "D" * (plens_l[b] - ev)
+            results[b] = _unreachable_result(pen, scope_full, s,
+                                             int(end_k[b]), eoff, ops)
         else:
-            # unreachable/z-drop/partial or inconsistent walk -> exact oracle
+            # inconsistent walk (rare) -> exact oracle
             oracle_idx.append(b)
 
     if escalate_idx:

@@ -1146,7 +1146,10 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
                                           state["h_steps_wait"])
 
     if strat & (HeuristicStrategy.XDROP | HeuristicStrategy.ZDROP):
-        do = ready
+        # each sub-heuristic re-checks steps_wait at entry, so a reset by
+        # wf-adaptive above skips the drop check this step
+        # (reference: wavefront_heuristic.c:271,345 entry guards)
+        do = eligible & (state["h_steps_wait"] <= 0)
         band = _band_mask(cfg, lo, hi)
         swg_match = -cfg.match if cfg.match != 0 else 1
         v = off - karr[None, :]
@@ -1200,8 +1203,10 @@ def _heuristic_cutoff(cfg: EngineConfig, state, plen, tlen, frees, active):
         wf_len = hi - lo + 1
         max_len = cfg.band_max_k - cfg.band_min_k + 1
         # C resets steps_wait whenever wf_length >= 4, even when the band
-        # needs no adjustment (reference: wavefront_heuristic.c:472-505)
-        ticked = ready & (wf_len >= 4)
+        # needs no adjustment (reference: wavefront_heuristic.c:472-505);
+        # steps_wait re-checked at entry (resets by earlier cascade stages
+        # skip this stage for the step)
+        ticked = eligible & (state["h_steps_wait"] <= 0) & (wf_len >= 4)
         do = ticked & (wf_len > max_len)
 
         def dist_at(kq):
@@ -1677,7 +1682,15 @@ def _pack_full(cfg: EngineConfig, out):
     jit dispatch + ONE device->host pull -- on tunneled TPU links the
     per-dispatch RPC gap otherwise rivals the device time itself.
     """
-    ok = out["status"] == ST_END_REACHED
+    # walk clean completions AND droppped/unreachable pairs with a recorded
+    # end position (z-drop): the reference backtraces those too, from the
+    # historic-max cell at the drop score (wavefront_unialign.c:211-235 +
+    # heuristic.c:425-435); the host then applies cigar_maxtrim. Recorded
+    # choices equal the re-derived backtrace argmax because every band
+    # prune lands before any dependent compute reads the pruned level.
+    ok = (out["status"] == ST_END_REACHED) | (
+        (out["status"] == ST_END_UNREACHABLE)
+        & (out["end_off"] > NULL_THRESHOLD))
     ops_fwd, n_ops, k_start, fb = _traceback_walk(
         cfg, out["choices"], out["final_s"], out["end_k"], ok)
     meta = jnp.stack([out["status"], out["final_s"], out["end_k"],
