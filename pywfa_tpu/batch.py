@@ -417,26 +417,45 @@ def _build_frees(attr0, B: int, plens: np.ndarray, tlens: np.ndarray
     return frees_np
 
 
-def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
-                           plens, tlens):
-    """Segmented execution with host-streamed traceback blocks.
+# device budget for ONE rematerialized segment's choices block (K * B * W);
+# sets the segment length K of the bounded-memory long-read path
+REPLAY_CHOICES_BYTES = int(os.environ.get("PYWFA_REPLAY_BYTES",
+                                          512 * 2**20))
 
-    The score loop runs in segments of K steps; each segment's choices block
-    (K x B x W bytes) is pulled to host RAM, so device memory stays bounded
-    regardless of the final score -- the tensor-engine equivalent of the
-    reference's low-memory/BiWFA envelope (SURVEY §5 long-context strategies)
-    and of wavefront_align_resume's pause/continue.
+
+def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
+                       plens, tlens, full_probe, Lp, Lt):
+    """Bounded-memory execution by segment rematerialization.
+
+    The forward score loop runs in segments of K steps WITHOUT recording
+    choices; only the ring state at each segment boundary (the explicit
+    resume pytree) is pulled to host RAM. The traceback then re-runs the
+    segments highest-to-lowest, regenerating each segment's choices block
+    on device and walking it inside the same compiled call
+    (engine.align_batch_replay_walk) -- the block never materializes off
+    device. Memory: device = ring + ONE K x B x W block; host = one ring
+    snapshot per segment (scope*n_comp*4 bytes per band cell, i.e.
+    ~100x smaller than the choice levels it replaces). This is the tensor
+    engine's answer to BiWFA's O(s) memory (wavefront_bialign.c:48-750):
+    recomputation instead of meet-in-the-middle bisection, at the same
+    2x compute cost, batched and without the recursion's tiny base cases.
+
+    The band is NOT forced to worst case: pairs that outgrow big_cfg.W
+    report ST_OVERFLOW_W and escalate through align_pairs' geometric
+    ladder with a 4x wider band.
     """
     import jax.numpy as jnp
 
     B = len(patterns)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
-    # segment size: keep the device block modest
-    K = max(64, int(CHOICES_BYTES_CAP // 8 // max(1, B * big_cfg.W)))
-    K = min(K, big_cfg.S_cap)
-    cfg = dataclasses.replace(big_cfg, S_cap=K)
+    S_total = full_probe.S_cap
+    # segment size from the replay-block budget
+    K = max(64, int(REPLAY_CHOICES_BYTES // max(1, B * big_cfg.W)))
+    K = min(K, S_total)
+    cfg = dataclasses.replace(big_cfg, S_cap=K, record_choices=False)
     if 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk) > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
+    cfg_rec = dataclasses.replace(cfg, record_choices=True)
     C = cfg.extend_chunk
     pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
     txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL)
@@ -448,20 +467,19 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
     frees = jnp.asarray(frees_np)
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
-    seg_choices = []  # host-resident u8 blocks
+    # --- forward pass: no choices, snapshot each boundary to host ---
+    snaps = []  # host copies of the resume pytree at segment starts 1..n-1
     out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
                                      max_steps)
-    if scope_full:
-        seg_choices.append(np.asarray(out["choices"]))
-    max_segments = (big_cfg.S_cap + K - 2) // (K - 1) + 1
+    max_segments = (S_total + K - 2) // (K - 1) + 1
     for _ in range(max_segments):
         status = np.asarray(out["status"])
         if not (status == E.ST_OVERFLOW_S).any():
             break
+        snaps.append({k: np.asarray(v) for k, v in state.items()})
         out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
                                           max_steps, state)
-        if scope_full:
-            seg_choices.append(np.asarray(out["choices"]))
+    n_segments = len(snaps) + 1
 
     meta = np.asarray(jnp.stack([out["status"], out["final_s"],
                                  out["end_k"], out["end_off"]]))
@@ -469,22 +487,35 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
     pen = attr0.penalties
     results = [None] * B
     oracle_idx = []
+    escalate_idx = []
+    at_full_W = cfg.W >= full_probe.W
 
     clean = (status == E.ST_END_REACHED)
     walkable = clean | ((status == E.ST_END_UNREACHABLE)
                         & (end_off > E.NULL_THRESHOLD))
     fb = np.zeros(B, dtype=bool)
     if scope_full and walkable.any():
-        # stitch the walk across segments, top to bottom
+        # walk highest segment first, rematerializing each block on device
         carry = E.walk_carry_init(final_s, end_k, jnp.asarray(walkable))
-        blocks = []
-        for i in range(len(seg_choices) - 1, -1, -1):
-            seg_base = jnp.int32(i * (K - 1))
-            ops_seg, carry = E.traceback_walk_segment(
-                cfg, jnp.asarray(seg_choices[i]), seg_base, carry)
-            blocks.append(np.asarray(ops_seg))
+        blocks = [None] * n_segments
+        for i in range(n_segments - 1, -1, -1):
+            s_now = np.asarray(carry[0])
+            act = np.asarray(carry[3])
+            if not (act & (s_now >= i * (K - 1))).any():
+                # no active pair has ops at this segment's levels
+                blocks[i] = np.zeros((B, K), dtype=np.uint8)
+                continue
+            if i == 0:
+                ops_seg, carry = E.align_batch_start_walk(
+                    cfg_rec, pat, txt, plen, tlen, frees, max_steps, carry)
+            else:
+                st = {k: jnp.asarray(v) for k, v in snaps[i - 1].items()}
+                ops_seg, carry = E.align_batch_replay_walk(
+                    cfg_rec, pat, txt, plen, tlen, frees, max_steps, st,
+                    carry)
+            blocks[i] = np.asarray(ops_seg)
         # forward (ascending-level) order
-        ops_all = np.concatenate(blocks[::-1], axis=1)
+        ops_all = np.concatenate(blocks, axis=1)
         k_start = np.asarray(carry[1])
         fb = np.asarray(carry[4]) | np.asarray(carry[3])
         n_ops = (ops_all != 0).sum(axis=1).astype(np.int64)
@@ -552,8 +583,20 @@ def _align_pairs_segmented(attr, attr0, patterns, texts, wildcard, big_cfg,
                         ops = ops + "D" * (int(plens[b]) - ev)
             results[b] = _unreachable_result(pen, scope_full, s, ek, eoff,
                                              ops)
+        elif st == E.ST_OVERFLOW_W and not at_full_W:
+            escalate_idx.append(b)
         else:
             oracle_idx.append(b)
+
+    if escalate_idx:
+        # adaptive band: re-run outgrown pairs with a 4x wider band
+        # (geometric, bounded by the worst-case width)
+        next_W = min(full_probe.W, E._round_up(cfg.W * 4, 128))
+        sub = align_pairs(attr, [patterns[b] for b in escalate_idx],
+                          [texts[b] for b in escalate_idx], wildcard,
+                          W=next_W, Lp=Lp, Lt=Lt, _escalated=True)
+        for b, r in zip(escalate_idx, sub):
+            results[b] = r
 
     if oracle_idx:
         for b in oracle_idx:
@@ -768,13 +811,13 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
                         W=W, S_cap=S_cap, record_choices=scope_full)
     at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
     if scope_full and cfg.S_cap * B * cfg.W > choices_cap:
-        # device can't hold the whole traceback record: run in segments,
-        # streaming each segment's choice block to the host. Segments lift
-        # the score cap entirely, so the band must be worst-case wide.
-        seg_cfg = dataclasses.replace(cfg, W=max(cfg.W, full_probe.W),
-                                      S_cap=full_probe.S_cap)
-        return _Inflight(results=_align_pairs_segmented(
-            attr, attr0, patterns, texts, wildcard, seg_cfg, plens, tlens))
+        # device can't hold the whole traceback record: run segmented with
+        # rematerialized traceback. Segments lift the score cap entirely;
+        # the band stays at this rung's width (pairs that outgrow it
+        # escalate geometrically inside _align_pairs_remat).
+        return _Inflight(results=_align_pairs_remat(
+            attr, attr0, patterns, texts, wildcard, cfg, plens, tlens,
+            full_probe, Lp, Lt))
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
     if lcp_bytes > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)

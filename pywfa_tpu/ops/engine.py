@@ -1800,8 +1800,7 @@ def align_batch_packed_meta(cfg: EngineConfig, packed, plen, tlen, frees,
                                   max_steps))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def traceback_walk_segment(cfg: EngineConfig, choices, seg_base, carry):
+def _walk_segment(cfg: EngineConfig, choices, seg_base, carry):
     """Walk one segment's choices block (levels [seg_base, seg_base+S_cap)).
 
     `carry` = (s, k, comp, active, fallback) per pair; start from
@@ -1821,6 +1820,48 @@ def traceback_walk_segment(cfg: EngineConfig, choices, seg_base, carry):
     carry, ops_fwd = jax.lax.scan(step, carry, (levels, choices),
                                   reverse=True)
     return ops_fwd.T, carry
+
+
+traceback_walk_segment = functools.partial(jax.jit, static_argnums=(0,))(
+    _walk_segment)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_start_walk(cfg: EngineConfig, pat, txt, plen, tlen, frees,
+                           max_steps, carry):
+    """Rematerialize segment 0 (from the initial state) WITH choice
+    recording and walk its levels, all in one compiled call.
+
+    The walk-phase twin of align_batch_start for the rematerialized
+    long-read path: the forward pass ran without recording choices
+    (device memory = ring only); the walk re-runs each segment to
+    regenerate its choices block on device and immediately consumes it --
+    the block never leaves the compiled program, so device memory stays
+    bounded by ONE segment regardless of the total score (the tensor
+    answer to BiWFA's O(s) memory, wavefront_bialign.c:48-750, via
+    recomputation instead of meet-in-the-middle bisection).
+    """
+    B = pat.shape[0]
+    state = _init_state(cfg, B, plen, tlen, frees, max_steps)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _walk_segment(cfg, state["choices"], jnp.int32(0), carry)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def align_batch_replay_walk(cfg: EngineConfig, pat, txt, plen, tlen, frees,
+                            max_steps, state, carry):
+    """Rematerialize one segment from its boundary `state` (as saved by the
+    forward pass) WITH choice recording, and walk its levels -- one
+    compiled call, choices block stays on device (see
+    align_batch_start_walk). `cfg` must have record_choices=True; `state`
+    comes from a record_choices=False forward run (no choices buffer)."""
+    state = dict(state)
+    seg_base = state["s"]
+    state["seg_base"] = seg_base
+    B = pat.shape[0]
+    state["choices"] = jnp.zeros((cfg.S_cap, B, cfg.W), dtype=jnp.uint8)
+    state = _run_loop(cfg, state, pat, txt, plen, tlen, frees, max_steps)
+    return _walk_segment(cfg, state["choices"], seg_base, carry)
 
 
 def walk_carry_init(final_s, end_k, ok):

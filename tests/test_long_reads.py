@@ -48,6 +48,45 @@ def test_1kb_heuristic_adaptive():
     assert res.cigartuples == res2.cigartuples
 
 
+def test_10kb_remat_matches_oracle(monkeypatch):
+    """10kb ONT-style pairs through the rematerialized segmented path:
+    byte-equal to the oracle with bounded device + host memory (VERDICT r2
+    item 1). Budgets forced down so the remat machinery actually engages
+    (multiple segments, snapshots, on-device replay walks)."""
+    import pywfa_tpu.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 8 * 2**20)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 32 * 2**20)
+    rng = random.Random(123)
+    pairs = [_ont_pair(rng, 10000, sub=0.03, ind=0.02) for _ in range(2)]
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    bp = [p.encode() for p, _ in pairs]
+    bt = [t.encode() for _, t in pairs]
+    res = align_pairs(attr, bp, bt)
+    orc = OracleAligner(attr)
+    for i in range(len(pairs)):
+        o = orc.align(bp[i], bt[i])
+        assert (res[i].status, res[i].score, res[i].ops) == \
+            (o.status, o.score, o.ops), i
+        check_alignment(res[i].ops, pairs[i][0], pairs[i][1], attr.penalties,
+                        end_v=len(bp[i]), end_h=len(bt[i]))
+
+
+def test_20kb_remat_matches_oracle(monkeypatch):
+    """20kb single pair, same bounded-memory path."""
+    import pywfa_tpu.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 8 * 2**20)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 32 * 2**20)
+    rng = random.Random(321)
+    p, t = _ont_pair(rng, 20000, sub=0.03, ind=0.02)
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    res = align_pairs(attr, [p.encode()], [t.encode()])[0]
+    o = OracleAligner(attr).align(p.encode(), t.encode())
+    assert (res.status, res.score) == (o.status, o.score)
+    assert res.ops == o.ops
+
+
 def test_escalation_ladder_runs():
     """A divergent pair must climb rungs, not fail."""
     rng = random.Random(47)

@@ -1,4 +1,5 @@
-"""Segmented (bounded-device-memory) execution must match one-shot results."""
+"""Segmented execution with rematerialized traceback must match one-shot
+results (bounded device AND host memory; see batch._align_pairs_remat)."""
 import random
 
 import numpy as np
@@ -33,8 +34,9 @@ def test_segmented_matches_oneshot(monkeypatch):
     bp = [p.encode() for p, _ in pairs]
     bt = [t.encode() for _, t in pairs]
     ref = align_pairs(attr, bp, bt)
-    # force the segmented path with a tiny device budget
+    # force the remat path with tiny budgets (multiple 64-step segments)
     monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 1)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 1)
     seg = align_pairs(attr, bp, bt)
     for i, (r, s) in enumerate(zip(ref, seg)):
         assert (r.status, r.score, r.ops) == (s.status, s.score, s.ops), i
@@ -50,6 +52,7 @@ def test_segmented_matches_oracle_divergent(monkeypatch):
     bp = [p.encode() for p, _ in pairs]
     bt = [t.encode() for _, t in pairs]
     monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 1)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 1)
     seg = align_pairs(attr, bp, bt)
     orc = OracleAligner(attr)
     for i in range(len(pairs)):
