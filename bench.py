@@ -73,13 +73,12 @@ def main():
     # (on tunneled dev links a synchronous push costs a full RPC and would
     # measure the tunnel, not the chip).
     from pywfa_tpu.batch import pack_tokens
-    from pywfa_tpu.ops.pallas import fused_loop
     fused2 = jnp.asarray(np.concatenate(
         [pack_tokens(pat_np, plens_np), pack_tokens(txt_np, tlens_np)],
         axis=1))
-    TB = BT.PALLAS_TB
-    use_pallas = (BT.USE_PALLAS and fused_loop.supported(cfg)
-                  and jax.default_backend() != "cpu" and B % TB == 0)
+    # same routing predicate as production (batch._run_engine)
+    TB = BT.pallas_plan(cfg, frees_np)
+    use_pallas = TB is not None and B % TB == 0
 
     def run():
         if use_pallas:

@@ -190,9 +190,40 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
             for i, b in enumerate(idx) if lens[i] >= 0}
 
 
-# batch-tile size of the fused Pallas kernel; batches are padded up to a
-# multiple with trivial pairs.
-PALLAS_TB = int(os.environ.get("PYWFA_PALLAS_TB", 32))
+# explicit batch-tile override for the fused Pallas kernel (0 = use the
+# measured per-config routing, fused_loop.routed_tile); batches are padded
+# up to a TB multiple with trivial pairs.
+PALLAS_TB = int(os.environ.get("PYWFA_PALLAS_TB", 0))
+
+
+def pallas_plan(cfg, frees_np: np.ndarray):
+    """Single source of truth for routing a batch to the fused Pallas
+    kernel (shared by _run_engine and bench.py): the batch-tile size TB
+    to run it with, or None when the XLA engine should run instead."""
+    import jax
+    from .ops.pallas import fused_loop
+    force = os.environ.get("PYWFA_FORCE_PALLAS", "") not in ("", "0")
+    if not (USE_PALLAS or force):
+        return None
+    TB = PALLAS_TB or fused_loop.routed_tile(cfg)
+    if TB is None and force:
+        TB = 32
+    if TB is None or not fused_loop.supported(cfg):
+        return None
+    if jax.default_backend() == "cpu" and not force:
+        return None
+    NQ = -(-(cfg.Lt + cfg.extend_chunk) // 32)
+    # VMEM budget: bits tile + ring scratch (+ slack for the step's
+    # [TB, W] temporaries); the choices record streams to HBM via a
+    # [2, TB, W] scratch, so S_cap doesn't enter the budget
+    if (NQ * TB * cfg.W * 4
+            + fused_loop.n_comp(cfg) * cfg.scope * TB * cfg.W * 4
+            ) >= 10 * 2**20:
+        return None
+    # WF0 ends-free seeds must fit the band
+    if int(np.max(frees_np[:, [0, 2]], initial=0)) >= -cfg.kmin - 2:
+        return None
+    return TB
 # The fused Pallas loop is the default TPU path for the configs it supports
 # (measured ~20% faster than the XLA engine at the 150bp/B=4096 headline:
 # 5.6 vs 7.1 ms/batch on v5e). PYWFA_USE_PALLAS=0 falls back to XLA.
@@ -240,33 +271,19 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
     packing in the same program; each extra dispatch pays a full RPC
     round trip on tunneled TPU links).
     """
-    import jax
     import jax.numpy as jnp
     from .ops.pallas import fused_loop
 
     B = pat_np.shape[0]
-    force = os.environ.get("PYWFA_FORCE_PALLAS", "") not in ("", "0")
-    NQ = -(-(cfg.Lt + cfg.extend_chunk) // 32)
-    scope = cfg.scope
-    eligible = (
-        (USE_PALLAS or force)
-        and fused_loop.supported(cfg)
-        and (jax.default_backend() != "cpu" or force)
-        # VMEM budget: bits tile + ring scratch (+ slack for the step's
-        # [TB, W] temporaries); the choices record streams to HBM via a
-        # [TB, W] scratch, so S_cap doesn't enter the budget
-        and (NQ * PALLAS_TB * cfg.W * 4
-             + 3 * scope * PALLAS_TB * cfg.W * 4) < 10 * 2**20
-        # WF0 ends-free seeds must fit the band
-        and int(np.max(frees_np[:, [0, 2]], initial=0)) < -cfg.kmin - 2
-    )
+    TB = pallas_plan(cfg, frees_np)
+    eligible = TB is not None
     if plens_np is None:
         plens_np = np.asarray(plen)
     if tlens_np is None:
         tlens_np = np.asarray(tlen)
-    pp = pack_tokens(pat_np, plens_np)
-    pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
     if not eligible:
+        pp = pack_tokens(pat_np, plens_np)
+        pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
         if pt is not None:
             fused2 = np.concatenate([pp, pt], axis=1)
             fn = (E.align_batch_packed_full if scope_full
@@ -278,8 +295,8 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         return fn(cfg, fused, plen, tlen, frees, max_steps)
     # Pallas pipeline: everything (2-bit decode, eq-bits, the whole-
     # alignment kernel, walk, packing) runs in ONE compiled call. Padding
-    # to a TB multiple happens on host so the push stays one array.
-    TB = PALLAS_TB
+    # to a TB multiple happens on host (BEFORE the 2-bit pack, so each
+    # batch is packed exactly once) so the push stays one array.
     padB = (-B) % TB
     if padB:
         def padrow(a, fill):
@@ -287,17 +304,16 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
                 [a, np.full((padB,) + a.shape[1:], fill, a.dtype)], axis=0)
         pat_np = padrow(pat_np, E.PATTERN_PAD)
         txt_np = padrow(txt_np, E.TEXT_PAD)
-        plens_p = padrow(plens_np.astype(np.int32), 1)
-        tlens_p = padrow(tlens_np.astype(np.int32), 1)
+        plens_np = padrow(plens_np.astype(np.int32), 1)
+        tlens_np = padrow(tlens_np.astype(np.int32), 1)
         frees = jnp.asarray(padrow(frees_np, 0))
         # give pad pairs a trivially-alignable base
         pat_np[B:, 0] = 65
         txt_np[B:, 0] = 65
-        plen = jnp.asarray(plens_p)
-        tlen = jnp.asarray(tlens_p)
-        if pt is not None:
-            pp = pack_tokens(pat_np, plens_p)
-            pt = pack_tokens(txt_np, tlens_p)
+        plen = jnp.asarray(plens_np)
+        tlen = jnp.asarray(tlens_np)
+    pp = pack_tokens(pat_np, plens_np)
+    pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
     if pt is not None:
         fused2 = np.concatenate([pp, pt], axis=1)
         return E.align_batch_pallas_packed_full(cfg, TB, B, fused2, plen,

@@ -1,22 +1,27 @@
-"""Fused whole-alignment Pallas kernel (gap-affine, no heuristics).
+"""Fused whole-alignment Pallas kernel (gap-affine + affine2p,
+optionally with the WF-adaptive pruning heuristic).
 
 One kernel instance per batch tile runs the *entire* WFA score loop with all
 state resident in VMEM:
 
-- the wavefront ring `offsets[3, scope, TB, W]` (the reference's modular
-  memory, wavefront_components.c:92-93) lives in VMEM scratch,
+- the wavefront ring `offsets[n_comp, scope, TB, W]` (the reference's
+  modular memory, wavefront_components.c:92-93) lives in VMEM scratch
+  (n_comp = 3 for gap-affine, 5 for affine2p),
 - per-diagonal equality bits (32 h-positions per uint32 word, the VMEM
   analog of the reference's 64-bit blockwise compare kernel,
   wavefront_extend_kernels.c:64-88) stream HBM->VMEM once; every extension
   step is a find-first-mismatch over NQ = ceil(Ltp/32) words -- O(NQ) VPU
   ops per cell instead of the O(Ltp) one-hot run-length lookup,
 - choice bytes accumulate in a VMEM output block and are written back once,
+- the WF-adaptive cutoff (reference: wavefront_heuristic.c:176-293) runs
+  in-loop as a band-shrink over the same VMEM rows,
 - each tile exits its loop as soon as its own pairs finish (the XLA
   while_loop runs to the global max).
 
-Covers the production hot path: gap-affine penalties, end-to-end and
-ends-free spans, full-CIGAR recording. Other metrics/heuristics use the XLA
-engine (identical results either way -- enforced by tests).
+Covers the production hot paths: gap-affine and affine2p penalties,
+end-to-end and ends-free spans, full-CIGAR recording, strategy none or
+wfadaptive. Other metrics/heuristics use the XLA engine (identical results
+either way -- enforced by tests).
 """
 from __future__ import annotations
 
@@ -28,7 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...constants import AlignmentSpan, DistanceMetric, OFFSET_NULL
+from ...constants import (AlignmentSpan, DistanceMetric, HeuristicStrategy,
+                          OFFSET_NULL)
 
 NULL = OFFSET_NULL  # python int: pallas kernels must not capture jax constants
 NULL_THRESHOLD = OFFSET_NULL // 2
@@ -39,20 +45,46 @@ ST_END_REACHED = 1
 ST_END_UNREACHABLE = 2
 ST_MAX_STEPS = 3
 ST_OVERFLOW_S = 5
-MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1 = 0, 1, 2, 3
+MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1, MSRC_I2, MSRC_D2 = 0, 1, 2, 3, 4, 5
 
-M, I1, D1 = 0, 1, 2
+M, I1, D1, I2, D2 = 0, 1, 2, 3, 4
 
 
 def supported(cfg) -> bool:
-    return (cfg.metric == DistanceMetric.GAP_AFFINE
-            and cfg.strategy == 0
+    return (cfg.metric in (DistanceMetric.GAP_AFFINE,
+                           DistanceMetric.GAP_AFFINE_2P)
+            and cfg.strategy in (0, int(HeuristicStrategy.WFADAPTIVE))
             and cfg.match == 0
             and cfg.use_lcp_table
             and cfg.record_choices
             # the choices HBM-stream DMA slices [TB, W] out of
             # [S_cap, B, W]; Mosaic requires the lane dim 128-aligned
             and cfg.W % 128 == 0)
+
+
+def n_comp(cfg) -> int:
+    return 5 if cfg.metric == DistanceMetric.GAP_AFFINE_2P else 3
+
+
+def routed_tile(cfg):
+    """Measured routing: batch-tile size when the fused kernel beats the
+    XLA engine for this config, else None (XLA is faster).
+
+    v5e, 4096x150bp, W=128/S_cap=96, slope-timed ms/batch (tools/
+    bench_pallas.py): affine 5.6 pallas vs 6.7 XLA (TB=32); affine +
+    wfadaptive 6.3 vs 7.6 (TB=64); affine2p + wfadaptive 6.6 vs 31.0
+    (TB=64, the XLA heuristic path pays per-component equates); plain
+    affine2p 7.4 vs 5.7 -- the 5-component arithmetic chain is
+    issue-bound at kernel tile sizes while XLA amortizes over the full
+    batch, so that one config routes to XLA.
+    """
+    if not supported(cfg):
+        return None
+    if cfg.strategy & HeuristicStrategy.WFADAPTIVE:
+        return 64
+    if cfg.metric == DistanceMetric.GAP_AFFINE_2P:
+        return None
+    return 32
 
 
 def _ctz32(m):
@@ -82,7 +114,7 @@ def _kernel(cfg, TB,
     once by an async copy from `ch_scratch`, so VMEM never holds the
     whole traceback record -- this is what lets TB grow to 256+)
     res out: [TB, 8] i32 (status, final_s, end_k, end_off)
-    scratch off: [3 * scope, TB, W] i32; lohi: [3 * scope, TB, 2] i32
+    scratch off: [NC * scope, TB, W] i32; lohi: [NC * scope, TB, 2] i32
     """
     W = cfg.W
     scope = cfg.scope
@@ -91,6 +123,11 @@ def _kernel(cfg, TB,
     x = cfg.mismatch
     o1e1 = cfg.gap_opening1 + cfg.gap_extension1
     e1 = cfg.gap_extension1
+    o2e2 = cfg.gap_opening2 + cfg.gap_extension2
+    e2 = cfg.gap_extension2
+    affine2p = cfg.metric == DistanceMetric.GAP_AFFINE_2P
+    NC = n_comp(cfg)
+    wfadaptive = bool(cfg.strategy & HeuristicStrategy.WFADAPTIVE)
     end2end = cfg.span == AlignmentSpan.END_TO_END
     NQ = bits_ref.shape[0]
 
@@ -102,20 +139,27 @@ def _kernel(cfg, TB,
     # this tile's slice of the HBM-resident choices output
     tile0 = pl.program_id(0) * TB
 
-    def ch_store(lvl):
+    def ch_store(par, lvl):
         return pltpu.make_async_copy(
-            ch_scratch, choices_ref.at[lvl, pl.ds(tile0, TB), :], ch_sem)
+            ch_scratch.at[par], choices_ref.at[lvl, pl.ds(tile0, TB), :],
+            ch_sem.at[par])
 
     # zero-fill all choice levels (byte parity with the XLA engine's
-    # zero-initialized tensor; live levels are overwritten below)
-    ch_scratch[:, :] = jnp.zeros((TB, W), jnp.uint8)
+    # zero-initialized tensor; live levels are overwritten below).
+    # All copies share the zeroed scratch row, so they are started
+    # back-to-back and drained with one wait loop instead of serializing
+    # a round trip per level.
+    ch_scratch[0] = jnp.zeros((TB, W), jnp.uint8)
 
-    def zfill(lvl, _):
-        cp = ch_store(lvl)
-        cp.start()
-        cp.wait()
+    def zstart(lvl, _):
+        ch_store(0, lvl).start()
         return 0
-    jax.lax.fori_loop(0, S_cap, zfill, 0)
+    jax.lax.fori_loop(0, S_cap, zstart, 0)
+
+    def zwait(lvl, _):
+        ch_store(0, lvl).wait()
+        return 0
+    jax.lax.fori_loop(0, S_cap, zwait, 0)
 
     # --- WF0 (reference: wavefront_aligner.c:251-310) ---
     if cfg.span == AlignmentSpan.ENDS_FREE and cfg.match == 0:
@@ -130,7 +174,7 @@ def _kernel(cfg, TB,
         wf0_lo = jnp.zeros((TB, 1), jnp.int32)
         wf0_hi = jnp.zeros((TB, 1), jnp.int32)
         off0 = jnp.where(karr == 0, 0, NULL)
-    for c in range(3):
+    for c in range(NC):
         for sl in range(scope):
             off_ref[c * scope + sl] = jnp.full((TB, W), NULL, jnp.int32)
             lohi_ref[c * scope + sl] = jnp.concatenate(
@@ -179,7 +223,7 @@ def _kernel(cfg, TB,
         return jnp.where(band_mask(nlo, nhi), arr, NULL), nlo, nhi
 
     def body(carry):
-        s, done_i, status, final_s, end_k, end_off, nnull = carry
+        s, done_i, status, final_s, end_k, end_off, nnull, h_wait = carry
         done = done_i != 0
         active = ~done
         slot = jax.lax.rem(s, scope)
@@ -256,6 +300,62 @@ def _kernel(cfg, TB,
         done = done | hit_t
         active = active & ~hit_t
 
+        # --- WF-adaptive cutoff (reference: wavefront_heuristic.c:176-293,
+        # cascade driver :509-567); band-shrink of slot s before compute
+        # reads it, mirroring engine._heuristic_cutoff byte-for-byte ---
+        if wfadaptive:
+            eligible = active & ~m_null
+            h_wait = jnp.where(eligible, h_wait - 1, h_wait)
+            ready = eligible & (h_wait <= 0)
+            do_h = ready & ((m_hi - m_lo + 1) >= cfg.min_wavefront_length)
+            hband = band_mask(m_lo, m_hi)
+            v_h = m_off - karr
+            dist = jnp.maximum(plen - v_h, tlen - m_off)
+            dist = jnp.where(m_off >= 0, dist, jnp.int32(-NULL))
+            mind = jnp.min(jnp.where(hband, dist, jnp.maximum(plen, tlen)),
+                           axis=1, keepdims=True)
+            keep = (dist - mind) <= cfg.max_distance_threshold
+            ak_h = tlen - plen
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+            # reduce from bottom over [lo, min(ak, hi))
+            top_limit = jnp.minimum(ak_h, m_hi)
+            stop_bot = hband & (karr < top_limit) & keep
+            any_bot = stop_bot.any(axis=1, keepdims=True)
+            first_keep = jnp.min(jnp.where(stop_bot, iota_h, W), axis=1,
+                                 keepdims=True) + kmin
+            lo_red = jnp.where(any_bot, first_keep,
+                               jnp.maximum(top_limit, m_lo))
+            new_lo = jnp.where(do_h, jnp.maximum(lo_red, m_lo), m_lo)
+            # reduce from top over (max(ak, new_lo), hi]
+            bot_limit = jnp.maximum(ak_h, new_lo)
+            stop_top = hband & (karr > bot_limit) & keep
+            any_top = stop_top.any(axis=1, keepdims=True)
+            last_keep = jnp.max(jnp.where(stop_top, iota_h, -1), axis=1,
+                                keepdims=True) + kmin
+            hi_red = jnp.where(any_top, last_keep,
+                               jnp.minimum(bot_limit, m_hi))
+            new_hi = jnp.where(do_h, jnp.minimum(hi_red, m_hi), m_hi)
+            h_wait = jnp.where(do_h, cfg.steps_between_cutoffs, h_wait)
+            changed = eligible & ((new_lo != m_lo) | (new_hi != m_hi))
+            m_off = jnp.where(changed & ~band_mask(new_lo, new_hi), NULL,
+                              m_off)
+            off_ref[M * scope + slot] = m_off
+            lohi_ref[M * scope + slot] = jnp.concatenate(
+                [jnp.where(changed, new_lo, m_lo),
+                 jnp.where(changed, new_hi, m_hi)], axis=1)
+            # equate I/D bands to M's (reference: heuristic.c:554-565)
+            for comp in range(1, NC):
+                clh = lohi_ref[comp * scope + slot]
+                clo = clh[:, 0:1]
+                chi = clh[:, 1:2]
+                nlo = jnp.where(changed, jnp.maximum(clo, new_lo), clo)
+                nhi = jnp.where(changed, jnp.minimum(chi, new_hi), chi)
+                coff = off_ref[comp * scope + slot]
+                coff = jnp.where(changed & ~band_mask(nlo, nhi), NULL, coff)
+                off_ref[comp * scope + slot] = coff
+                lohi_ref[comp * scope + slot] = jnp.concatenate([nlo, nhi],
+                                                                axis=1)
+
         # --- compute s+1 (reference: wavefront_compute_affine.c) ---
         s1 = s + 1
         slot1 = jax.lax.rem(s1, scope)
@@ -263,9 +363,6 @@ def _kernel(cfg, TB,
         op_off, op_lo, op_hi, op_null = read_wf(M, s1 - o1e1)
         i1_off, i1_lo, i1_hi, i1_null = read_wf(I1, s1 - e1)
         d1_off, d1_lo, d1_hi, d1_null = read_wf(D1, s1 - e1)
-        all_null = mm_null & op_null & i1_null & d1_null
-        nnull = jnp.where(active & all_null, nnull + 1,
-                          jnp.where(active, 0, nnull))
         big = jnp.int32(2**30)
 
         def lim(lo_, hi_, nul, widen):
@@ -278,8 +375,7 @@ def _kernel(cfg, TB,
         l4, h4 = lim(d1_lo, d1_hi, d1_null, 1)
         lo_n = jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
         hi_n = jnp.maximum(jnp.maximum(h1, h2), jnp.maximum(h3, h4))
-        lo_n = jnp.clip(lo_n, kmin + 2, kmin + W - 3)
-        hi_n = jnp.clip(hi_n, kmin + 2, kmin + W - 3)
+        all_null = mm_null & op_null & i1_null & d1_null
 
         i1o = pack(shift(op_off, -1) + 1, 0)
         i1e = pack(shift(i1_off, -1) + 1, 1)
@@ -294,58 +390,128 @@ def _kernel(cfg, TB,
                          shift(jnp.maximum(op_off, d1_off), +1), d1p >> 3)
         d1_ext = (d1p >= 0) & ((d1p & 7) == 1)
         mis = mm_off + 1
-        pm = jnp.maximum(pack(mis, 5), jnp.maximum(pack(del1, 3),
-                                                   pack(ins1, 1)))
-        raw = jnp.maximum(mis, jnp.maximum(del1, ins1))
+
+        if affine2p:
+            op2_off, op2_lo, op2_hi, op2_null = read_wf(M, s1 - o2e2)
+            i2_off, i2_lo, i2_hi, i2_null = read_wf(I2, s1 - e2)
+            d2_off, d2_lo, d2_hi, d2_null = read_wf(D2, s1 - e2)
+            l5, h5 = lim(op2_lo, op2_hi, op2_null, 1)
+            l6, h6 = lim(i2_lo, i2_hi, i2_null, 1)
+            l7, h7 = lim(d2_lo, d2_hi, d2_null, 1)
+            lo_n = jnp.minimum(lo_n, jnp.minimum(l5, jnp.minimum(l6, l7)))
+            hi_n = jnp.maximum(hi_n, jnp.maximum(h5, jnp.maximum(h6, h7)))
+            all_null = all_null & op2_null & i2_null & d2_null
+
+            i2o = pack(shift(op2_off, -1) + 1, 0)
+            i2e = pack(shift(i2_off, -1) + 1, 1)
+            i2p = jnp.maximum(i2o, i2e)
+            ins2 = jnp.where(i2p < 0,
+                             shift(jnp.maximum(op2_off, i2_off), -1) + 1,
+                             i2p >> 3)
+            i2_ext = (i2p >= 0) & ((i2p & 7) == 1)
+            d2o = pack(shift(op2_off, +1), 0)
+            d2e = pack(shift(d2_off, +1), 1)
+            d2p = jnp.maximum(d2o, d2e)
+            del2 = jnp.where(d2p < 0,
+                             shift(jnp.maximum(op2_off, d2_off), +1),
+                             d2p >> 3)
+            d2_ext = (d2p >= 0) & ((d2p & 7) == 1)
+            # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1)
+            pm = jnp.maximum(
+                jnp.maximum(pack(mis, 5), pack(del2, 4)),
+                jnp.maximum(pack(del1, 3),
+                            jnp.maximum(pack(ins2, 2), pack(ins1, 1))))
+            raw = jnp.maximum(jnp.maximum(mis, del2),
+                              jnp.maximum(del1, jnp.maximum(ins2, ins1)))
+            pr = pm & 7
+            msrc = jnp.where(
+                pm < 0, MSRC_NONE,
+                jnp.where(pr == 5, MSRC_X,
+                          jnp.where(pr == 4, MSRC_D2,
+                                    jnp.where(pr == 3, MSRC_D1,
+                                              jnp.where(pr == 2, MSRC_I2,
+                                                        MSRC_I1)))))
+            choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
+                      | (d1_ext.astype(jnp.int32) << 4)
+                      | (i2_ext.astype(jnp.int32) << 5)
+                      | (d2_ext.astype(jnp.int32) << 6)).astype(jnp.uint8)
+        else:
+            pm = jnp.maximum(pack(mis, 5), jnp.maximum(pack(del1, 3),
+                                                       pack(ins1, 1)))
+            raw = jnp.maximum(mis, jnp.maximum(del1, ins1))
+            pr = pm & 7
+            msrc = jnp.where(pm < 0, MSRC_NONE,
+                             jnp.where(pr == 5, MSRC_X,
+                                       jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
+            choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
+                      | (d1_ext.astype(jnp.int32) << 4)).astype(jnp.uint8)
+
+        nnull = jnp.where(active & all_null, nnull + 1,
+                          jnp.where(active, 0, nnull))
+        lo_n = jnp.clip(lo_n, kmin + 2, kmin + W - 3)
+        hi_n = jnp.clip(hi_n, kmin + 2, kmin + W - 3)
+
         mvals = jnp.where(pm < 0, raw, pm >> 3)
-        pr = pm & 7
-        msrc = jnp.where(pm < 0, MSRC_NONE,
-                         jnp.where(pr == 5, MSRC_X,
-                                   jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
         h_ = mvals
         v_ = mvals - karr
         bad = (h_ < 0) | (h_ > tlen) | (v_ < 0) | (v_ > plen)
         mvals = jnp.where(bad, NULL, mvals)
-        choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
-                  | (d1_ext.astype(jnp.int32) << 4)).astype(jnp.uint8)
 
         write = active & ~all_null
         band_n = band_mask(lo_n, hi_n) & write
-        m_arr = jnp.where(band_n, mvals, NULL)
-        m_arr, m_tlo, m_thi = trim(m_arr, lo_n, hi_n)
-        m_tlo = jnp.where(write, m_tlo, 1)
-        m_thi = jnp.where(write, m_thi, -1)
-        off_ref[M * scope + slot1] = m_arr
-        lohi_ref[M * scope + slot1] = jnp.concatenate([m_tlo, m_thi], axis=1)
 
-        i1_prod = write & ~(op_null & i1_null)
-        i_arr = jnp.where(band_n & i1_prod, ins1, NULL)
-        i_arr, i_tlo, i_thi = trim(i_arr, lo_n, hi_n)
-        i_tlo = jnp.where(i1_prod, i_tlo, 1)
-        i_thi = jnp.where(i1_prod, i_thi, -1)
-        off_ref[I1 * scope + slot1] = i_arr
-        lohi_ref[I1 * scope + slot1] = jnp.concatenate([i_tlo, i_thi], axis=1)
+        # stacked component store: one trim (two reductions) over a
+        # [NC, TB, W] stack instead of NC sequential passes -- the kernel
+        # analog of the engine's stacked ring writes (engine.py comps
+        # stacking); per-step cost is reduction-bound at 5 components
+        vals = [mvals, ins1, del1]
+        prods = [write, write & ~(op_null & i1_null),
+                 write & ~(op_null & d1_null)]
+        if affine2p:
+            vals += [ins2, del2]
+            prods += [write & ~(op2_null & i2_null),
+                      write & ~(op2_null & d2_null)]
+        arr3 = jnp.stack(vals)                    # [NC, TB, W]
+        prod3 = jnp.stack(prods)                  # [NC, TB, 1]
+        arr3 = jnp.where(band_n[None] & prod3, arr3, NULL)
+        karr3 = karr[None]
+        v3 = arr3 - karr3
+        inb3 = (band_mask(lo_n, hi_n)[None] & (arr3 >= 0) & (arr3 <= tlen)
+                & (v3 >= 0) & (v3 <= plen))
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (NC, TB, W), 2)
+        first3 = jnp.min(jnp.where(inb3, iota3, W), axis=2,
+                         keepdims=True) + kmin
+        last3 = jnp.max(jnp.where(inb3, iota3, -1), axis=2,
+                        keepdims=True) + kmin
+        any3 = inb3.any(axis=2, keepdims=True)
+        tlo3 = jnp.where(prod3 & any3, first3, 1)
+        thi3 = jnp.where(prod3 & any3, last3, -1)
+        arr3 = jnp.where((karr3 >= tlo3) & (karr3 <= thi3), arr3, NULL)
+        for c in range(NC):
+            off_ref[c * scope + slot1] = arr3[c]
+            lohi_ref[c * scope + slot1] = jnp.concatenate(
+                [tlo3[c], thi3[c]], axis=1)
 
-        d1_prod = write & ~(op_null & d1_null)
-        d_arr = jnp.where(band_n & d1_prod, del1, NULL)
-        d_arr, d_tlo, d_thi = trim(d_arr, lo_n, hi_n)
-        d_tlo = jnp.where(d1_prod, d_tlo, 1)
-        d_thi = jnp.where(d1_prod, d_thi, -1)
-        off_ref[D1 * scope + slot1] = d_arr
-        lohi_ref[D1 * scope + slot1] = jnp.concatenate([d_tlo, d_thi], axis=1)
+        # double-buffered choice store: wait the copy issued two steps ago
+        # on this parity, refill the scratch row, start the copy, and keep
+        # computing -- the DMA drains during the next step instead of
+        # stalling this one
+        par = jax.lax.rem(s1, 2)
 
-        ch_scratch[:, :] = jnp.where(band_mask(lo_n, hi_n) & write, choice,
-                                     jnp.uint8(0))
-        cp = ch_store(s1)
-        cp.start()
-        cp.wait()
+        @pl.when(s1 >= 3)
+        def _wait_prev():
+            ch_store(par, s1).wait()  # same shape: waits copy (s1 - 2)
+
+        ch_scratch[par] = jnp.where(band_mask(lo_n, hi_n) & write, choice,
+                                    jnp.uint8(0))
+        ch_store(par, s1).start()
 
         hit_max = active & (s1 >= msteps)
         status = jnp.where(hit_max, ST_MAX_STEPS, status)
         final_s = jnp.where(hit_max, s1, final_s)
         done = done | hit_max
         return (s1, done.astype(jnp.int32), status, final_s, end_k, end_off,
-                nnull)
+                nnull, h_wait)
 
     def cond(carry):
         s, done_i, *_ = carry
@@ -359,9 +525,21 @@ def _kernel(cfg, TB,
         jnp.zeros((TB, 1), jnp.int32),
         jnp.full((TB, 1), NULL, jnp.int32),
         jnp.zeros((TB, 1), jnp.int32),
+        jnp.full((TB, 1), cfg.steps_between_cutoffs, jnp.int32),
     )
-    s, done_i, status, final_s, end_k, end_off, nnull = jax.lax.while_loop(
-        cond, body, init)
+    (s, done_i, status, final_s, end_k, end_off, nnull,
+     _h_wait) = jax.lax.while_loop(cond, body, init)
+
+    # drain the (up to two) still-in-flight double-buffered choice copies:
+    # in-loop waits cover copies 1..s-2, leaving s-1 and s outstanding
+    @pl.when(s >= 1)
+    def _drain_last():
+        ch_store(jax.lax.rem(s, 2), 0).wait()
+
+    @pl.when(s >= 2)
+    def _drain_prev():
+        ch_store(jax.lax.rem(s + 1, 2), 0).wait()
+
     running = done_i == 0
     status = jnp.where(running, ST_OVERFLOW_S, status)
     final_s = jnp.where(running, s, final_s)
@@ -412,10 +590,10 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((3 * scope, TB, W), jnp.int32),
-            pltpu.VMEM((3 * scope, TB, 2), jnp.int32),
-            pltpu.VMEM((TB, W), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n_comp(cfg) * scope, TB, W), jnp.int32),
+            pltpu.VMEM((n_comp(cfg) * scope, TB, 2), jnp.int32),
+            pltpu.VMEM((2, TB, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),

@@ -11,12 +11,16 @@ from pywfa_tpu.ops import engine as E
 from pywfa_tpu.ops.pallas import fused_loop
 
 
-def _run_both(pairs, span, frees_row=(0, 0, 0, 0)):
+def _run_both(pairs, span, frees_row=(0, 0, 0, 0), distance="affine",
+              heuristic=None):
+    import dataclasses
     B = len(pairs)
     maxLp = max(len(p) for p, _ in pairs)
     maxLt = max(len(t) for _, t in pairs)
-    api = WavefrontAligner(backend="numpy", span=span)
+    api = WavefrontAligner(backend="numpy", span=span, distance=distance)
     attr = api._attributes()
+    if heuristic is not None:
+        attr = dataclasses.replace(attr, heuristic=heuristic)
     cfg = E.full_config(attr, maxLp, maxLt)
     assert fused_loop.supported(cfg)
     C = cfg.extend_chunk
@@ -59,6 +63,49 @@ def test_endsfree_matches_xla():
     ]
     _run_both(pairs, "ends-free")
     _run_both(pairs, "ends-free", frees_row=(2, 2, 2, 2))
+
+
+def _divergent_pairs(seed, n=6, lo=30, hi=120, sub=0.15, ind=0.1):
+    import random
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        p = "".join(rng.choice("ACGT") for _ in range(rng.randint(lo, hi)))
+        t = []
+        for c in p:
+            r = rng.random()
+            if r < ind / 2:
+                continue
+            if r < ind:
+                t.append(rng.choice("ACGT"))
+            t.append(c if rng.random() > sub else rng.choice("ACGT"))
+        out.append((p, "".join(t) or "A"))
+    return out
+
+
+def test_affine2p_matches_xla():
+    """affine2p (5-component ring) in the fused kernel, default 2p
+    penalties 24/1 (reference: wavefront_compute_affine2p.c:45-106)."""
+    _run_both(_divergent_pairs(21), "end-to-end", distance="affine2p")
+    _run_both(_divergent_pairs(22), "ends-free", distance="affine2p",
+              frees_row=(3, 3, 3, 3))
+
+
+def test_wfadaptive_matches_xla():
+    """WF-adaptive band shrink inside the kernel
+    (reference: wavefront_heuristic.c:176-293)."""
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    h = HeuristicParams(strategy=HeuristicStrategy.WFADAPTIVE,
+                        min_wavefront_length=5, max_distance_threshold=15,
+                        steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(23, sub=0.25, ind=0.15), "end-to-end",
+              heuristic=h)
+    h2 = HeuristicParams(strategy=HeuristicStrategy.WFADAPTIVE,
+                         min_wavefront_length=3, max_distance_threshold=10,
+                         steps_between_cutoffs=2)
+    _run_both(_divergent_pairs(24, sub=0.3, ind=0.2), "end-to-end",
+              distance="affine2p", heuristic=h2)
 
 
 def test_lcp_table_hmajor_matches_xla_builder():

@@ -1,0 +1,120 @@
+"""Fused Pallas kernel parity on REAL TPU hardware (Mosaic lowering).
+
+CI runs CPU-only, where the kernel executes in interpret mode; the actual
+Mosaic compilation (per-lane variable shifts, float-exponent ctz, per-level
+DMA streaming of choices, W%128 slicing) is only exercised on a TPU. These
+tests are skipped on CPU and run by the TPU verify flow:
+
+    JAX_PLATFORMS='' python -m pytest tests/test_pallas_tpu.py -q -p no:cacheprovider
+
+(tests/conftest.py forces jax to CPU for the rest of the suite; this module
+re-checks the backend at runtime.)
+"""
+import dataclasses
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tpu_or_skip():
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs TPU (Mosaic lowering); CPU runs interpret mode")
+
+
+def _run_both(pairs, span, frees_row=(0, 0, 0, 0), distance="affine",
+              heuristic=None):
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+    from pywfa_tpu.ops import engine as E
+    from pywfa_tpu.ops.pallas import fused_loop
+
+    B = len(pairs)
+    maxLp = max(len(p) for p, _ in pairs)
+    maxLt = max(len(t) for _, t in pairs)
+    api = WavefrontAligner(backend="numpy", span=span, distance=distance)
+    attr = api._attributes()
+    if heuristic is not None:
+        attr = dataclasses.replace(attr, heuristic=heuristic)
+    cfg = E.full_config(attr, maxLp, maxLt)
+    assert fused_loop.supported(cfg)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.tile(jnp.asarray([frees_row], dtype=jnp.int32), (B, 1))
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, B, bits, plen, tlen, frees, ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
+
+
+def _pairs(seed, n=8, lo=30, hi=150, sub=0.12, ind=0.08):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        p = "".join(rng.choice("ACGT") for _ in range(rng.randint(lo, hi)))
+        t = []
+        for c in p:
+            r = rng.random()
+            if r < ind / 2:
+                continue
+            if r < ind:
+                t.append(rng.choice("ACGT"))
+            t.append(c if rng.random() > sub else rng.choice("ACGT"))
+        out.append((p, "".join(t) or "A"))
+    return out
+
+
+def test_tpu_affine_end2end():
+    _tpu_or_skip()
+    _run_both(_pairs(31), "end-to-end")
+
+
+def test_tpu_affine_endsfree():
+    _tpu_or_skip()
+    _run_both(_pairs(32), "ends-free", frees_row=(4, 4, 4, 4))
+
+
+def test_tpu_affine2p():
+    _tpu_or_skip()
+    _run_both(_pairs(33), "end-to-end", distance="affine2p")
+
+
+def test_tpu_wfadaptive():
+    _tpu_or_skip()
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    h = HeuristicParams(strategy=HeuristicStrategy.WFADAPTIVE,
+                        min_wavefront_length=5, max_distance_threshold=15,
+                        steps_between_cutoffs=1)
+    _run_both(_pairs(34, sub=0.2, ind=0.15), "end-to-end", heuristic=h)
+
+
+def test_tpu_full_pipeline_batch():
+    """End-to-end through batch.align_pairs on the default (Pallas) path."""
+    _tpu_or_skip()
+    from pywfa_tpu import batch as B
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.oracle import OracleAligner
+    pairs = _pairs(35, n=48, sub=0.05, ind=0.03, lo=140, hi=150)
+    api = WavefrontAligner(backend="numpy")
+    attr = api._attributes()
+    res = B.align_pairs(attr, [p.encode() for p, _ in pairs],
+                        [t.encode() for _, t in pairs])
+    orc = OracleAligner(attr)
+    for i, (p, t) in enumerate(pairs):
+        o = orc.align(p.encode(), t.encode())
+        assert (res[i].status, res[i].score, res[i].ops) == \
+            (o.status, o.score, o.ops), i

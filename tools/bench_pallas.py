@@ -44,8 +44,16 @@ def main():
     rng = np.random.default_rng(0)
     pats, txts = bench.make_pairs(rng, B, L, 0.02)
 
-    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    dist = os.environ.get("BENCH_DIST", "affine")
+    api = WavefrontAligner(backend="numpy", span="end-to-end", distance=dist)
     attr = api._attributes()
+    if os.environ.get("BENCH_HEUR") == "adaptive":
+        import dataclasses
+        from pywfa_tpu.attributes import HeuristicParams
+        from pywfa_tpu.constants import HeuristicStrategy
+        attr = dataclasses.replace(attr, heuristic=HeuristicParams(
+            strategy=HeuristicStrategy.WFADAPTIVE, min_wavefront_length=10,
+            max_distance_threshold=50, steps_between_cutoffs=1))
     W = int(os.environ.get("BENCH_W", 128))
     S_cap = int(os.environ.get("BENCH_SCAP", 96))
     cfg = E.full_config(attr, L, L, W=W, S_cap=S_cap)
@@ -57,7 +65,7 @@ def main():
     frees = jnp.zeros((B, 4), dtype=jnp.int32)
     ms = jnp.int32(2**31 - 1)
 
-    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap}")
+    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap} dist={dist} heur={os.environ.get(chr(66)+chr(69)+chr(78)+chr(67)+chr(72)+chr(95)+chr(72)+chr(69)+chr(85)+chr(82), chr(45))}")
 
     # --- XLA path ---
     def run_xla():
@@ -77,7 +85,7 @@ def main():
         return E._pack_full(cfg, out)
 
     for TB in (32, 64, 128, 256, 512):
-        if 3 * cfg.scope * TB * cfg.W * 4 > 10 * 2**20:
+        if fused_loop.n_comp(cfg) * cfg.scope * TB * cfg.W * 4 > 10 * 2**20:
             continue
         def run_p():
             return pallas_full(cfg, TB, pat, txt, plen, tlen, frees, ms)
