@@ -40,7 +40,10 @@ from ..constants import (
     OFFSET_NULL,
 )
 
-NULL = jnp.int32(OFFSET_NULL)
+# numpy (not jnp) scalar: creating a device constant at import time would
+# initialize the XLA backend, which must not happen before
+# jax.distributed.initialize in multi-process runs (tools/mp_worker.py)
+NULL = np.int32(OFFSET_NULL)
 NULL_THRESHOLD = OFFSET_NULL // 2
 INT32_MAX = 2**31 - 1
 

@@ -38,12 +38,18 @@ def distributed_init(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
-def sharded_align_batch(cfg: E.EngineConfig, mesh: Mesh):
+def sharded_align_batch(cfg: E.EngineConfig, mesh: Mesh,
+                        gather_results: bool = False):
     """jit `align_batch` with all per-pair arrays sharded over the batch.
 
     Every tensor in the engine carries the batch dimension, so a pure
     batch-axis NamedSharding lets XLA run the whole score loop with zero
-    cross-device communication; only the small result arrays are gathered.
+    cross-device communication. With gather_results=True the small
+    per-pair meta arrays (status/final_s/end_k/end_off/steps) come back
+    fully replicated -- an all-gather over ICI/DCN, the only collective
+    of the data-parallel design (SURVEY §2.5 north star); the big
+    choices tensor (if recorded) stays batch-sharded so no bulk data
+    crosses the interconnect.
     """
     batch_1d = NamedSharding(mesh, P(DATA_AXIS))
     batch_2d = NamedSharding(mesh, P(DATA_AXIS, None))
@@ -54,4 +60,25 @@ def sharded_align_batch(cfg: E.EngineConfig, mesh: Mesh):
     def fn(pat, txt, plen, tlen, frees, max_steps):
         return E.align_batch(cfg, pat, txt, plen, tlen, frees, max_steps)
 
-    return jax.jit(fn, in_shardings=in_shardings)
+    if not gather_results:
+        return jax.jit(fn, in_shardings=in_shardings)
+    out_shardings = dict(status=repl, final_s=repl, end_k=repl,
+                         end_off=repl, steps=repl)
+    if cfg.record_choices:
+        out_shardings["choices"] = NamedSharding(mesh, P(None, DATA_AXIS,
+                                                         None))
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def make_global_batch(mesh: Mesh, host_arrays: dict) -> dict:
+    """Turn full host copies of the batch arrays into globally-sharded
+    jax.Arrays (every process holds the same full host copy and
+    contributes its addressable shards -- no cross-process data exchange
+    at input time, matching the replicated-input north star)."""
+    out = {}
+    for name, (arr, spec) in host_arrays.items():
+        sh = NamedSharding(mesh, spec)
+        out[name] = jax.make_array_from_callback(
+            arr.shape, sh, lambda idx, a=arr: a[idx])
+    return out

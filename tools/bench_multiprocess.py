@@ -1,0 +1,94 @@
+"""Multi-process scaling measurement (CPU multi-host simulation).
+
+Launches tools/mp_worker.py at 1, 2, and 4 processes (2 virtual CPU
+devices each) with the global batch scaled proportionally (weak scaling:
+B = B_PER_DEV * n_devices), records aggregate pairs/s per point, and
+writes SCALING_r{N}.json.
+
+Caveat recorded in the artifact: all simulated "hosts" share one
+machine's cores, so efficiency here validates the distributed PROTOCOL
+(global mesh, sharded inputs, gather collective, identical results), not
+real ICI/DCN scaling -- the >=85% BASELINE target needs a pod-slice run.
+
+Usage: python tools/bench_multiprocess.py [out.json]
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "mp_worker.py")
+
+B_PER_DEV = int(os.environ.get("SCALE_B_PER_DEV", 64))
+L = int(os.environ.get("SCALE_L", 150))
+ITERS = int(os.environ.get("SCALE_ITERS", 5))
+DEV_PER_PROC = 2
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_point(nproc, tmpdir):
+    B = B_PER_DEV * DEV_PER_PROC * nproc
+    port = free_port()
+    env = dict(os.environ,
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={DEV_PER_PROC}")
+    env.pop("JAX_PLATFORMS", None)
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = os.path.join(tmpdir, f"scale_{nproc}_{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(nproc), str(port),
+             str(B), str(L), str(ITERS), out], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE))
+    for p in procs:
+        _, se = p.communicate(timeout=1200)
+        if p.returncode != 0:
+            raise RuntimeError(se.decode()[-2000:])
+    recs = [json.load(open(o)) for o in outs]
+    assert all(r["meta"] == recs[0]["meta"] for r in recs), \
+        "processes disagree on gathered results"
+    s_per_batch = max(r["s_per_batch"] for r in recs)
+    return dict(num_processes=nproc, global_devices=DEV_PER_PROC * nproc,
+                B=B, L=L, s_per_batch=s_per_batch,
+                pairs_per_s=B / s_per_batch)
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r03.json"
+    points = []
+    with tempfile.TemporaryDirectory() as td:
+        for nproc in (1, 2, 4):
+            pt = run_point(nproc, td)
+            points.append(pt)
+            print(f"{nproc} proc ({pt['global_devices']} dev): "
+                  f"{pt['pairs_per_s']:.0f} pairs/s (B={pt['B']})",
+                  flush=True)
+    base = points[0]["pairs_per_s"]
+    for pt in points:
+        pt["scaling_efficiency"] = round(
+            pt["pairs_per_s"] / (base * pt["num_processes"]), 3)
+    rec = dict(
+        kind="weak_scaling_cpu_simulation",
+        note=("CPU multi-process simulation of multi-host: validates the "
+              "jax.distributed protocol and result parity; all simulated "
+              "hosts share one machine's cores, so efficiency is NOT an "
+              "ICI/DCN measurement (BASELINE >=85% target needs a pod)."),
+        b_per_device=B_PER_DEV, dev_per_proc=DEV_PER_PROC, iters=ITERS,
+        points=points)
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Multi-process (multi-host-simulating) alignment worker.
+
+One OS process per simulated host; `jax.distributed` + Gloo CPU
+collectives stitch the per-process CPU devices into one global mesh, and
+`parallel.mesh.sharded_align_batch` runs the batched engine data-parallel
+across it (SURVEY §4: multi-host testing via CPU multi-process
+simulation). Launched by tests/test_multiprocess.py and
+tools/bench_multiprocess.py:
+
+    python tools/mp_worker.py <pid> <nproc> <port> <B> <L> <iters> <out.json>
+
+Every process builds the identical corpus (seeded) and contributes its
+local shards; results come back replicated via the gather collective, and
+each process writes its own JSON (the launcher checks process agreement).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+
+def make_corpus(B, L, seed=7):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    pats = alpha[rng.integers(0, 4, (B, L))]
+    txts = pats.copy()
+    for i in range(B):
+        idx = rng.choice(L, 3, replace=False)
+        txts[i, idx] = alpha[rng.integers(0, 4, 3)]
+    return ([pats[i].tobytes() for i in range(B)],
+            [txts[i].tobytes() for i in range(B)])
+
+
+def main():
+    pid, nproc, port, B, L, iters = (int(a) for a in sys.argv[1:7])
+    out_path = sys.argv[7]
+
+    # distributed bring-up must precede any backend touch (the package
+    # import is safe: it only sets config flags)
+    from pywfa_tpu.parallel.mesh import (distributed_init, make_mesh,
+                                         make_global_batch,
+                                         sharded_align_batch)
+    distributed_init(coordinator_address=f"localhost:{port}",
+                     num_processes=nproc, process_id=pid)
+    mesh = make_mesh()
+
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import (PATTERN_SENTINEL, TEXT_SENTINEL,
+                                 encode_batch)
+    from pywfa_tpu.ops import engine as E
+
+    pats, txts = make_corpus(B, L)
+    attr = WavefrontAligner(backend="numpy", span="end-to-end",
+                            scope="score")._attributes()
+    cfg = E.full_config(attr, L, L, record_choices=False)
+    C = cfg.extend_chunk
+    host = dict(
+        pat=(encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL), P("data", None)),
+        txt=(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL), P("data", None)),
+        plen=(np.full((B,), L, np.int32), P("data")),
+        tlen=(np.full((B,), L, np.int32), P("data")),
+        frees=(np.zeros((B, 4), np.int32), P("data", None)),
+    )
+    g = make_global_batch(mesh, host)
+    ms = jnp.int32(2**31 - 1)
+    fn = sharded_align_batch(cfg, mesh, gather_results=True)
+
+    def run():
+        return fn(g["pat"], g["txt"], g["plen"], g["tlen"], g["frees"], ms)
+
+    out = run()  # compile + warm
+    meta = {k: np.asarray(out[k]).tolist()
+            for k in ("status", "final_s", "end_k", "end_off")}
+    t0 = time.time()
+    for _ in range(iters):
+        out = run()
+    np.asarray(out["status"])
+    dt = (time.time() - t0) / max(iters, 1)
+
+    rec = dict(process_id=pid, num_processes=nproc,
+               local_devices=len(jax.local_devices()),
+               global_devices=len(jax.devices()),
+               B=B, L=L, s_per_batch=dt, pairs_per_s=B / dt, meta=meta)
+    with open(out_path, "w") as f:
+        json.dump(rec, f)
+    print(f"proc {pid}/{nproc}: {B / dt:.0f} pairs/s "
+          f"({len(jax.devices())} global devices)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
