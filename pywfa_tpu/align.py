@@ -442,7 +442,8 @@ class WavefrontAligner:
                 xdrop=self._xdrop,
             ),
             memory_mode=self._memory_mode,
-            system=SystemParams(max_alignment_steps=self._max_steps),
+            system=SystemParams(max_alignment_steps=self._max_steps,
+                                verbose=self._verbose),
         )
 
     # -- alignment ------------------------------------------------------

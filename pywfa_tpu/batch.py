@@ -438,6 +438,63 @@ def _build_frees(attr0, B: int, plens: np.ndarray, tlens: np.ndarray
 REPLAY_CHOICES_BYTES = int(os.environ.get("PYWFA_REPLAY_BYTES",
                                           512 * 2**20))
 
+# wall-clock budget for ONE compiled device program. Tunneled TPU workers
+# enforce an execution watchdog (~60-120 s observed: a monolithic 10 kb
+# score loop at S_cap=12288 kills the worker); long runs are segmented so
+# no single program approaches it.
+PROGRAM_WALL_BUDGET_S = float(os.environ.get("PYWFA_PROGRAM_BUDGET_S", 15.0))
+
+# long-read (segmented) runs may hold a bigger LCP table: their choices
+# block is bounded (REPLAY_CHOICES_BYTES), freeing HBM for the table,
+# whose per-step gather is ~8x faster than chunked sequence compares
+LCP_TABLE_BYTES_CAP_REMAT = int(os.environ.get("PYWFA_REMAT_LCP_BYTES",
+                                               8 * 2**30))
+
+
+def _est_step_seconds(cfg, B: int) -> float:
+    """Rough per-score-step device-time model, for bounding program wall
+    time (conservative; only large shapes matter). Measured v5e: chunked
+    extension ~400 ns/lane-step, W-major LCP gather ~16 ns, h-major
+    one-hot modes far below either."""
+    lanes = B * cfg.W
+    mode = E._extend_mode(cfg, cfg.Lt + cfg.extend_chunk)
+    if mode == "chunk":
+        per = 500e-9
+    elif mode == "table" and (cfg.Lt + cfg.extend_chunk) > 2048:
+        per = 30e-9
+    else:
+        per = 5e-9
+    return lanes * per
+
+
+def _print_progress(attr0, cfg, B, s_now, state, snaps_bytes):
+    """One in-flight progress line (verbose >= 3 analog of the reference's
+    probe printer, wavefront_unialign.c:277-324), emitted at segment
+    boundaries of the long-running paths."""
+    import sys as _sys
+    slot = s_now % cfg.scope
+    off = np.asarray(state["offsets"][E.M, slot])
+    status = np.asarray(state["status"])
+    running = status == E.ST_RUNNING
+    karr = np.arange(cfg.W, dtype=np.int64) + cfg.kmin
+    valid = off > E.NULL_THRESHOLD
+    v = np.where(valid, off - karr[None, :], -1)
+    h = np.where(valid, off, -1)
+    dist = np.maximum(v, h).max(axis=1)  # [B] furthest cell per pair
+    lohi = np.asarray(state["hi"][E.M, slot]) - np.asarray(
+        state["lo"][E.M, slot]) + 1
+    dist_total = max(cfg.Lp, cfg.Lt)
+    dmax = float(dist[running].max(initial=-1))
+    # a null current level reports -1 like the reference probe
+    pct = 100.0 * dmax / max(dist_total, 1) if dmax >= 0 else -1.0
+    dev_mb = E.memory_estimate(cfg, B)["total"] / 2**20
+    print(f"[pywfa_tpu::align] Score {s_now} "
+          f"(~ {pct:2.3f}% aligned, {int(running.sum())}/{B} running). "
+          f"MemoryUsed(device,host-snapshots)=({dev_mb:.0f} MB,"
+          f"{snaps_bytes / 2**20:.0f} MB). "
+          f"Wavefronts ~ {lohi.max(initial=0) / 1e6:2.3f} Moffsets",
+          file=_sys.stderr, flush=True)
+
 
 def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
                        plens, tlens, full_probe, Lp, Lt):
@@ -465,12 +522,22 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
     B = len(patterns)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
     S_total = full_probe.S_cap
-    # segment size from the replay-block budget
-    K = max(64, int(REPLAY_CHOICES_BYTES // max(1, B * big_cfg.W)))
+    # long-read runs afford a bigger LCP table than one-shot dispatch
+    # (their choices block is bounded, freeing HBM); the table's per-step
+    # gather is ~8x faster than chunked compares, so re-decide from the
+    # remat-specific cap (big_cfg may arrive with the table disabled)
+    lcp_ok = (3 * B * big_cfg.W * (big_cfg.Lt + big_cfg.extend_chunk)
+              <= LCP_TABLE_BYTES_CAP_REMAT)
+    cfg = dataclasses.replace(big_cfg, record_choices=False,
+                              use_lcp_table=lcp_ok)
+    # segment size: replay-block byte budget AND per-program wall budget
+    K = max(64, int(REPLAY_CHOICES_BYTES // max(1, B * cfg.W)))
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        K = min(K, max(64, int(PROGRAM_WALL_BUDGET_S
+                               / _est_step_seconds(cfg, B))))
     K = min(K, S_total)
-    cfg = dataclasses.replace(big_cfg, S_cap=K, record_choices=False)
-    if 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk) > LCP_TABLE_BYTES_CAP:
-        cfg = dataclasses.replace(cfg, use_lcp_table=False)
+    cfg = dataclasses.replace(cfg, S_cap=K)
     cfg_rec = dataclasses.replace(cfg, record_choices=True)
     C = cfg.extend_chunk
     pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
@@ -484,15 +551,27 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
     max_steps = jnp.int32(min(attr0.system.max_alignment_steps, 2**31 - 1))
 
     # --- forward pass: no choices, snapshot each boundary to host ---
+    verbose = attr0.system.verbose
+    probe = max(attr0.system.probe_interval_global, 1)
+    next_probe = probe
     snaps = []  # host copies of the resume pytree at segment starts 1..n-1
     out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
                                      max_steps)
     max_segments = (S_total + K - 2) // (K - 1) + 1
+    snaps_bytes = 0
     for _ in range(max_segments):
         status = np.asarray(out["status"])
         if not (status == E.ST_OVERFLOW_S).any():
             break
-        snaps.append({k: np.asarray(v) for k, v in state.items()})
+        snap = {k: np.asarray(v) for k, v in state.items()}
+        snaps.append(snap)
+        snaps_bytes += sum(a.nbytes for a in snap.values())
+        # in-flight progress (verbose>=3 every probe_interval_global steps,
+        # verbose>=4 every segment; reference: wavefront_unialign.c:110-112)
+        s_now = int(snap["s"])
+        if verbose >= 4 or (verbose >= 3 and s_now >= next_probe):
+            next_probe = (s_now // probe + 1) * probe
+            _print_progress(attr0, cfg, B, s_now, snap, snaps_bytes)
         out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
                                           max_steps, state)
     n_segments = len(snaps) + 1
@@ -826,17 +905,25 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
                         wildcard=(wildcard if wildcard is not None else -1),
                         W=W, S_cap=S_cap, record_choices=scope_full)
     at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
-    if scope_full and cfg.S_cap * B * cfg.W > choices_cap:
-        # device can't hold the whole traceback record: run segmented with
-        # rematerialized traceback. Segments lift the score cap entirely;
-        # the band stays at this rung's width (pairs that outgrow it
-        # escalate geometrically inside _align_pairs_remat).
-        return _Inflight(results=_align_pairs_remat(
-            attr, attr0, patterns, texts, wildcard, cfg, plens, tlens,
-            full_probe, Lp, Lt))
+    # lcp-table feasibility must precede the wall-budget estimate (the
+    # extension mode depends on it)
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
     if lcp_bytes > LCP_TABLE_BYTES_CAP:
         cfg = dataclasses.replace(cfg, use_lcp_table=False)
+    import jax as _jax
+    too_long = (_jax.default_backend() != "cpu"
+                and cfg.S_cap * _est_step_seconds(cfg, B)
+                > PROGRAM_WALL_BUDGET_S)
+    if (scope_full and cfg.S_cap * B * cfg.W > choices_cap) or too_long:
+        # device can't hold the whole traceback record, or one monolithic
+        # program would outlive the TPU worker's execution watchdog: run
+        # segmented with rematerialized traceback. Segments lift the
+        # score cap entirely; the band stays at this rung's width (pairs
+        # that outgrow it escalate geometrically inside
+        # _align_pairs_remat).
+        return _Inflight(results=_align_pairs_remat(
+            attr, attr0, patterns, texts, wildcard, cfg, plens, tlens,
+            full_probe, Lp, Lt))
     C = cfg.extend_chunk
 
     pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL, lens=plens)
@@ -1000,6 +1087,11 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
 
     if escalate_idx:
         # geometric escalation: 4x the score cap, band sized to match
+        if attr0.system.verbose >= 3:
+            import sys as _sys
+            print(f"[pywfa_tpu::align] escalating {len(escalate_idx)}/{B} "
+                  f"pairs past bucket (W={cfg.W}, S_cap={cfg.S_cap})",
+                  file=_sys.stderr, flush=True)
         sub_p = [patterns[b] for b in escalate_idx]
         sub_t = [texts[b] for b in escalate_idx]
         next_S = min(cfg.S_cap * 4, full_probe.S_cap)

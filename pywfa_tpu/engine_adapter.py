@@ -22,11 +22,10 @@ def available() -> bool:
 
 
 def _bucket(n: int) -> int:
-    """Round a length up to a shape bucket (power of two, min 16)."""
-    b = 16
-    while b < n:
-        b *= 2
-    return b
+    """Round a length up to a shape bucket (parallel.bucketing schedule,
+    so single-pair calls and batch calls share compile-cache shapes)."""
+    from .parallel.bucketing import DEFAULT_SCHEDULE, _bucket_len
+    return _bucket_len(n, DEFAULT_SCHEDULE)
 
 
 def align_single(attr: AlignerAttributes, pattern: bytes, text: bytes,

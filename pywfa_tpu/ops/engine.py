@@ -72,6 +72,11 @@ WOP_MFLAG = 4  # bit: op preceded by a (greedy) match run
 PATTERN_PAD = 1
 TEXT_PAD = 2
 
+# element cap for any one skew-trick intermediate in the LCP-table builder
+# (TPU int32 linearized addressing corrupts past ~2^31 elements; chunk the
+# band well below that)
+LCP_BUILD_ELEMS_CAP = 2**29
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
@@ -325,26 +330,32 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
     return off
 
 
-def _eq_skew(cfg: EngineConfig, pat, txt):
+def _eq_skew(cfg: EngineConfig, pat, txt, W: Optional[int] = None,
+             kmin: Optional[int] = None):
     """Per-diagonal equality eq[b, w, h]: pattern[h - k_w] vs text[h].
 
     k_w = kmin + w. Built gather-free with the classic skew trick (tiling
     a padded pattern row W times and reshaping shifts each row by one);
     sentinel padding guarantees eq is False past either sequence end.
+    W/kmin default to the config's band; passing a sub-range lets callers
+    build the band in diagonal chunks (see _build_lcp_table).
     """
     B = pat.shape[0]
-    W = cfg.W
+    if W is None:
+        W = cfg.W
+    if kmin is None:
+        kmin = cfg.kmin
     Ltp = txt.shape[1]
     Lpp = pat.shape[1]
     # pattern index for (w, h) is h - k_w + lead; pad so all indices exist:
     # h - k ranges over [-(kmin + W - 1), Ltp - 1 - kmin]
-    lead = max(0, cfg.kmin + W - 1)
-    tail = max(0, Ltp - Lpp - cfg.kmin) + 1
+    lead = max(0, kmin + W - 1)
+    tail = max(0, Ltp - Lpp - kmin) + 1
     patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
                      constant_values=np.int8(PATTERN_PAD))
     N = patpad.shape[1]
     # patk[b, w, h] = patpad[b, c0 + h - w] with c0 = lead - kmin >= W-1
-    c0 = lead - cfg.kmin
+    c0 = lead - kmin
     assert c0 >= W - 1 and c0 + Ltp <= N - 1, (c0, W, Ltp, N)
     tiled = jnp.broadcast_to(patpad[:, None, :], (B, W, N)).reshape(B, W * N)
     skew = tiled[:, : W * (N - 1)].reshape(B, W, N - 1)
@@ -371,15 +382,40 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     Built once per batch with static shifts and a reverse cummin -- no
     gathers. Extension then reduces to `off += R[b, w, off]` (one gather of
     B*W elements per score step) instead of the chunked compare loop.
+
+    Large bands are built in diagonal chunks: the skew trick's tiled
+    intermediate is B x W x ~(W + 2L) elements, which for wide long-read
+    bands exceeds 2^31 elements and silently corrupts under TPU int32
+    linearized addressing (observed at W=20096, L=10k: wrong equality ->
+    wrong runs -> off-optimal alignments). Chunking by k-range keeps every
+    intermediate well under the limit; results are byte-identical.
     """
     Ltp = txt.shape[1]
-    eq = _eq_skew(cfg, pat, txt)
+    B = pat.shape[0]
     dt = jnp.int16 if Ltp < 32000 else jnp.int32
     hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
     big = dt(Ltp)
-    mism = jnp.where(eq, big, hidx)
-    nm = jax.lax.cummin(mism, axis=2, reverse=True)
-    run = jnp.minimum(nm, big) - hidx
+
+    def build(W, kmin):
+        eq = _eq_skew(cfg, pat, txt, W=W, kmin=kmin)
+        mism = jnp.where(eq, big, hidx)
+        nm = jax.lax.cummin(mism, axis=2, reverse=True)
+        return jnp.minimum(nm, big) - hidx
+
+    N_est = max(0, cfg.kmin + cfg.W - 1) + pat.shape[1] \
+        + max(0, Ltp - pat.shape[1] - cfg.kmin) + 1
+    CAP = LCP_BUILD_ELEMS_CAP
+    if B * cfg.W * N_est <= CAP:
+        run = build(cfg.W, cfg.kmin)
+    else:
+        Wc = max(128, _round_up(CAP // max(1, B * N_est), 128))
+        chunks = []
+        w0 = 0
+        while w0 < cfg.W:
+            wc = min(Wc, cfg.W - w0)
+            chunks.append(build(wc, cfg.kmin + w0))
+            w0 += wc
+        run = jnp.concatenate(chunks, axis=1)
     if Ltp < 250:
         # short reads: runs fit uint8, halving the per-step lookup stream
         return run.astype(jnp.uint8)

@@ -97,19 +97,27 @@ class OracleResult:
 class OracleAligner:
     """Single-pair exact WFA with the reference's full behavior surface."""
 
-    def __init__(self, attr: AlignerAttributes, wildcard: Optional[int] = None):
+    def __init__(self, attr: AlignerAttributes, wildcard: Optional[int] = None,
+                 keep_wavefronts: bool = False):
         self.attr = attr
         self.wildcard = wildcard
         # optional utils.plot.WavefrontPlot recording band evolution
         # (analog of wavefront_plot.c)
         self.plot = None
+        # retain the run (all wavefront contents) for debug display
+        # (reference: wavefront_display.c via utils.display.print_wavefronts)
+        self.keep_wavefronts = keep_wavefronts
+        self.last_run = None
 
     # ------------------------------------------------------------------
     def align(self, pattern: bytes, text: bytes) -> OracleResult:
         attr = validate_alignment(self.attr, len(pattern), len(text))
         run = _Run(attr, pattern, text, self.wildcard)
         run.plot = self.plot
-        return run.run()
+        result = run.run()
+        if self.keep_wavefronts:
+            self.last_run = run
+        return result
 
 
 class _Run:

@@ -96,3 +96,65 @@ def print_score_matrix(pattern: str, text: str, penalties: Penalties,
                 cell = cell[:-1] + "*"
             row.append(cell)
         print(" ".join(row), file=stream)
+
+
+def print_wavefronts(run, score_begin: int, score_end: int,
+                     file=None) -> None:
+    """Render wavefront CONTENTS per score: a table with one row per
+    diagonal k and one column group per score, each group holding the
+    per-component offsets ('[  ]' where the component has no cell).
+
+    Analog of the reference's wavefront debug dump
+    (reference: wavefront_display.c:110-284, wavefront_aligner_print);
+    `run` is an oracle run with retained wavefronts -- align with
+    `OracleAligner(attr, keep_wavefronts=True)` and pass its `.last_run`.
+    """
+    import sys
+
+    from ..constants import Component, DistanceMetric
+
+    stream = file or sys.stdout
+    metric = run.metric
+    if metric in (DistanceMetric.INDEL, DistanceMetric.EDIT,
+                  DistanceMetric.GAP_LINEAR):
+        comps = [(Component.M, "M")]
+    elif metric == DistanceMetric.GAP_AFFINE:
+        comps = [(Component.M, "M"), (Component.I1, "I1"),
+                 (Component.D1, "D1")]
+    else:
+        comps = [(Component.M, "M"), (Component.I1, "I1"),
+                 (Component.D1, "D1"), (Component.I2, "I2"),
+                 (Component.D2, "D2")]
+    scores = list(range(score_begin, score_end + 1))
+    # union band over the displayed scores
+    lo = hi = None
+    for s in scores:
+        for comp, _ in comps:
+            wf = run.wfs[comp].get(s)
+            if wf is None or wf.null:
+                continue
+            lo = wf.lo if lo is None else min(lo, wf.lo)
+            hi = wf.hi if hi is None else max(hi, wf.hi)
+    print(f">[SCORE {score_begin}-{score_end}]", file=stream)
+    if lo is None:
+        print("(all wavefronts null)", file=stream)
+        return
+    cw = 5 * len(comps)  # one column group per score
+    head = "       |" + "|".join(f"{f's={s}':^{cw}}" for s in scores) + "|"
+    sub = "   k   |" + "|".join(
+        "".join(f"{name:^5}" for _, name in comps) for _ in scores) + "|"
+    print(head, file=stream)
+    print(sub, file=stream)
+    for k in range(hi, lo - 1, -1):
+        cells = []
+        for s in scores:
+            grp = ""
+            for comp, _ in comps:
+                wf = run.wfs[comp].get(s)
+                if (wf is None or wf.null or k < wf.lo or k > wf.hi
+                        or wf.off[k + run.koff] < 0):
+                    grp += "[  ] "
+                else:
+                    grp += f"[{int(wf.off[k + run.koff]):>2d}] "
+            cells.append(grp.rstrip().ljust(cw))
+        print(f"{k:>6} |" + "|".join(cells) + "|", file=stream)

@@ -173,3 +173,33 @@ def test_endsfree_negative_match_with_xdrop():
     # sweep a few more shapes of the same family
     kw2 = dict(kw, heuristic="adaptive", match=-2, steps_between_cutoffs=1)
     _compare(kw2, [(p, t), (p[:40], t[:50]), (t[:60], p[:30])])
+
+
+def test_lcp_table_chunked_build_identical(monkeypatch):
+    """The diagonal-chunked LCP-table build (big-band / long-read path,
+    guards TPU int32 addressing limits) must equal the one-shot build."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pywfa_tpu import batch as BT
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.attributes import validate_alignment
+    from pywfa_tpu.ops import engine as E
+
+    rng = np.random.default_rng(5)
+    al = np.frombuffer(b"ACGT", np.uint8)
+    B, L = 3, 700
+    pats = [al[rng.integers(0, 4, rng.integers(300, L + 1))].tobytes()
+            for _ in range(B)]
+    txts = [al[rng.integers(0, 4, rng.integers(300, L + 1))].tobytes()
+            for _ in range(B)]
+    attr = validate_alignment(
+        WavefrontAligner(backend="numpy", span="end-to-end")._attributes(),
+        L, L)
+    cfg = E.full_config(attr, L, L, W=1536, S_cap=64)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(BT.encode_batch(pats, cfg.Lp, C, BT.PATTERN_SENTINEL))
+    txt = jnp.asarray(BT.encode_batch(txts, cfg.Lt, C, BT.TEXT_SENTINEL))
+    ref = np.asarray(E._build_lcp_table(cfg, pat, txt))
+    monkeypatch.setattr(E, "LCP_BUILD_ELEMS_CAP", 2**20)  # force chunking
+    got = np.asarray(E._build_lcp_table(cfg, pat, txt))
+    np.testing.assert_array_equal(got, ref)

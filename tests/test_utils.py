@@ -87,3 +87,46 @@ def test_verbose_and_check_api(capsys):
     a.wavefront_align("ACGTACGTAATCGT")
     err = capsys.readouterr().err
     assert "score=-4" in err and "status=0" in err
+
+
+def test_print_wavefronts_display():
+    """Wavefront-contents debug dump (reference: wavefront_display.c)."""
+    import io
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.oracle import OracleAligner
+    from pywfa_tpu.utils.display import print_wavefronts
+    attr = WavefrontAligner(backend="numpy")._attributes()
+    orc = OracleAligner(attr, keep_wavefronts=True)
+    r = orc.align(b"TCTTTACTCGCGCGTT", b"TCTATACTGCGCGTT")
+    buf = io.StringIO()
+    print_wavefronts(orc.last_run, 0, r.wf_score, file=buf)
+    out = buf.getvalue()
+    assert ">[SCORE 0-" in out
+    assert " M " in out and " I1 " in out and " D1 " in out
+    assert "[ 3]" in out  # WF0 extended seed on k=0
+
+
+def test_verbose3_progress_lines(monkeypatch, capsys):
+    """verbose>=3 emits in-flight probe lines during segmented execution
+    (reference: wavefront_unialign.c:277-324); probe_interval_global is a
+    live config field."""
+    import dataclasses
+    import random
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.attributes import SystemParams
+    import pywfa_tpu.batch as batch_mod
+    from pywfa_tpu.batch import align_pairs
+    monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 1)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 1)
+    rng = random.Random(5)
+    pairs = [("".join(rng.choice("ACGT") for _ in range(200)),
+              "".join(rng.choice("ACGT") for _ in range(190)))
+             for _ in range(2)]
+    attr = WavefrontAligner(backend="numpy")._attributes()
+    attr = dataclasses.replace(attr, system=SystemParams(
+        verbose=3, probe_interval_global=100))
+    align_pairs(attr, [p.encode() for p, _ in pairs],
+                [t.encode() for _, t in pairs])
+    err = capsys.readouterr().err
+    assert "[pywfa_tpu::align] Score" in err
+    assert "% aligned" in err and "MemoryUsed" in err
