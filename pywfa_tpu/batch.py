@@ -143,11 +143,14 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
 
 
 def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
-                 end_off, ops_fwd, n_ops, k_start, wildcard) -> dict:
+                 end_off, ops_fwd, n_ops, k_start, wildcard,
+                 capped: bool = False) -> dict:
     """Batched C++ match-fill for the clean pairs; {} if lib unavailable.
 
     pat_np/txt_np: the already-encoded [B, L+C] int8 token matrices (the
-    sentinel padding past each sequence end is never read).
+    sentinel padding past each sequence end is never read). capped=True
+    forces each pair's final run to its recorded end offset (dropped-pair
+    partial walks; see _match_fill's cap_h).
     """
     from . import native
     if native.lib() is None:
@@ -176,7 +179,8 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
         pat, sel(plens).astype(np.int64),
         txt, sel(tlens).astype(np.int64),
         trail_i, trail_d,
-        int(wildcard) if wildcard is not None else -1)
+        int(wildcard) if wildcard is not None else -1,
+        caps=(eh if capped else None))
     if res is None:
         return {}
     out, out_lens = res
@@ -999,6 +1003,16 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
             native_ops = _native_fill(cfg, clean_idx, pat_np, txt_np, plens,
                                       tlens, end_k, end_off, ops_fwd, n_ops,
                                       k_start, wildcard)
+        # dropped pairs with a walked backtrace: same batched fill, final
+        # run forced to the recorded historic-max offset
+        part_np = ((status == E.ST_END_UNREACHABLE) & ~fb
+                   & (end_off > E.NULL_THRESHOLD)
+                   & ((end_off - end_k) > 0) & (end_off > 0))
+        part_idx = np.flatnonzero(part_np).tolist()
+        if part_idx:
+            native_ops.update(_native_fill(
+                cfg, part_idx, pat_np, txt_np, plens, tlens, end_k, end_off,
+                ops_fwd, n_ops, k_start, wildcard, capped=True))
 
     # vectorized score translation + python-int views (np scalar indexing in
     # a 4096-iteration loop costs several ms)
@@ -1070,6 +1084,8 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
                     ops = ("I" * (eh - nm) + "D" * (ev - nm) + "M" * nm
                            + "I" * (tlens_l[b] - eh)
                            + "D" * (plens_l[b] - ev))
+                elif b in native_ops:
+                    ops = native_ops[b]
                 else:
                     ops = _match_fill(patterns[b], texts[b], ops_fwd[b],
                                       int(n_ops[b]), int(k_start[b]),

@@ -58,7 +58,7 @@ def lib() -> Optional[ctypes.CDLL]:
         c_u8p, ctypes.c_int64, c_i64p, c_i64p,
         c_u8p, ctypes.c_int64, c_i64p,
         c_u8p, ctypes.c_int64, c_i64p,
-        c_i64p, c_i64p,
+        c_i64p, c_i64p, c_i64p,
         ctypes.c_int32, ctypes.c_int64,
         c_u8p, ctypes.c_int64, c_i64p,
     ]
@@ -81,17 +81,22 @@ def match_fill_batch(ops_fwd: np.ndarray, n_ops: np.ndarray,
                      k_start: np.ndarray, pat: np.ndarray, plens: np.ndarray,
                      txt: np.ndarray, tlens: np.ndarray,
                      trail_i: np.ndarray, trail_d: np.ndarray,
-                     wildcard: int) -> Optional[tuple]:
+                     wildcard: int,
+                     caps: Optional[np.ndarray] = None) -> Optional[tuple]:
     """Batched match-fill; returns (ascii_ops [B, Lmax], lens [B]) or None.
 
     Output rows are ASCII op chars (M/I/D/X). All array args must be
     C-contiguous with the documented dtypes: ops_fwd/pat/txt uint8 2-D;
-    the rest int64 1-D.
+    the rest int64 1-D. caps[b] >= 0 forces the pair's FINAL run to end
+    exactly at that text offset (dropped-pair partial walks); -1/None =
+    greedy (clean completions).
     """
     L = lib()
     if L is None:
         return None
     B = ops_fwd.shape[0]
+    if caps is None:
+        caps = np.full(B, -1, dtype=np.int64)
     out_stride = int(plens.max() + tlens.max() + 2) if B else 2
     out = np.empty((B, out_stride), dtype=np.uint8)
     out_lens = np.empty(B, dtype=np.int64)
@@ -102,6 +107,7 @@ def match_fill_batch(ops_fwd: np.ndarray, n_ops: np.ndarray,
         _ptr(pat, u8), pat.shape[1], _ptr(plens, i64),
         _ptr(txt, u8), txt.shape[1], _ptr(tlens, i64),
         _ptr(trail_i, i64), _ptr(trail_d, i64),
+        _ptr(np.ascontiguousarray(caps, dtype=np.int64), i64),
         wildcard, B,
         _ptr(out, u8), out_stride, _ptr(out_lens, i64))
     return out, out_lens

@@ -52,6 +52,8 @@ int64_t wfa_match_fill(
     const uint8_t* text, int64_t tlen,
     int32_t wildcard,
     int64_t trail_i, int64_t trail_d,  // trailing free I/D counts
+    int64_t cap_h,  // >=0: FORCE the final run to (cap_h - h) 'M' ops
+                    // (dropped-pair walks; see batch._match_fill docstring)
     uint8_t* out, int64_t out_cap) {
     int64_t v, h;
     if (k_start >= 0) {
@@ -66,7 +68,16 @@ int64_t wfa_match_fill(
     for (int64_t i = 0; i < h && n < out_cap; ++i) out[n++] = OP_I;
     for (int64_t i = 0; i < v && n < out_cap; ++i) out[n++] = OP_D;
 
-    auto extend = [&]() {
+    auto extend = [&](bool final) {
+        if (final && cap_h >= 0) {
+            // forced fill to the recorded end offset, no equality check
+            // (reference: wavefront_backtrace.c:425-436)
+            for (; h < cap_h; ++v, ++h) {
+                if (n >= out_cap) return false;
+                out[n++] = OP_M;
+            }
+            return true;
+        }
         while (v < plen && h < tlen &&
                chars_match(pattern[v], text[h], wildcard)) {
             if (n >= out_cap) return false;
@@ -77,7 +88,11 @@ int64_t wfa_match_fill(
         return true;
     };
 
-    if (!extend()) return -1;
+    int64_t last_i = -1;
+    for (int64_t i = 0; i < n_ops; ++i)
+        if (ops_fwd[i] != 0) last_i = i;
+
+    if (!extend(last_i < 0)) return -1;
     // ops stream is forward-order and zero-sparse (0 = no op at a level)
     for (int64_t i = 0; i < n_ops; ++i) {
         const uint8_t tok = ops_fwd[i];
@@ -102,7 +117,7 @@ int64_t wfa_match_fill(
                 return -1;
         }
         if (tok & WOP_MFLAG) {
-            if (!extend()) return -1;
+            if (!extend(i == last_i)) return -1;
         }
     }
     // trailing free indels, I-block then D-block
@@ -125,6 +140,7 @@ void wfa_match_fill_batch(
     const uint8_t* pat, int64_t pat_stride, const int64_t* plens,
     const uint8_t* txt, int64_t txt_stride, const int64_t* tlens,
     const int64_t* trail_i, const int64_t* trail_d,
+    const int64_t* cap_h,  // per pair; -1 = no cap (clean completion)
     int32_t wildcard, int64_t B,
     uint8_t* out, int64_t out_stride, int64_t* out_lens) {
     uint8_t ascii[256];
@@ -143,7 +159,7 @@ void wfa_match_fill_batch(
             ops_fwd + b * ops_stride, n_ops[b], k_start[b],
             pat + b * pat_stride, plens[b],
             txt + b * txt_stride, tlens[b],
-            wildcard, trail_i[b], trail_d[b],
+            wildcard, trail_i[b], trail_d[b], cap_h[b],
             row, out_stride);
         out_lens[b] = n;
         for (int64_t i = 0; i < n; ++i) row[i] = ascii[row[i]];
