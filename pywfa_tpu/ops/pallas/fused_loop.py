@@ -1,5 +1,5 @@
 """Fused whole-alignment Pallas kernel (gap-affine + affine2p,
-optionally with the WF-adaptive pruning heuristic).
+optionally with the WF-adaptive, X-drop and Z-drop heuristics).
 
 One kernel instance per batch tile runs the *entire* WFA score loop with all
 state resident in VMEM:
@@ -13,15 +13,17 @@ state resident in VMEM:
   step is a find-first-mismatch over NQ = ceil(Ltp/32) words -- O(NQ) VPU
   ops per cell instead of the O(Ltp) one-hot run-length lookup,
 - choice bytes accumulate in a VMEM output block and are written back once,
-- the WF-adaptive cutoff (reference: wavefront_heuristic.c:176-293) runs
-  in-loop as a band-shrink over the same VMEM rows,
+- the heuristic cascade (WF-adaptive band-shrink, X-drop pruning, Z-drop
+  abandonment with historic-max bookkeeping; reference:
+  wavefront_heuristic.c:176-450) runs in-loop over the same VMEM rows,
 - each tile exits its loop as soon as its own pairs finish (the XLA
   while_loop runs to the global max).
 
 Covers the production hot paths: gap-affine and affine2p penalties,
-end-to-end and ends-free spans, full-CIGAR recording, strategy none or
-wfadaptive. Other metrics/heuristics use the XLA engine (identical results
-either way -- enforced by tests).
+end-to-end and ends-free spans, full-CIGAR recording, strategy none /
+wfadaptive / xdrop / zdrop (and wfadaptive|drop combos). Other metrics and
+heuristics use the XLA engine (identical results either way -- enforced by
+tests).
 """
 from __future__ import annotations
 
@@ -50,10 +52,15 @@ MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1, MSRC_I2, MSRC_D2 = 0, 1, 2, 3, 4, 5
 M, I1, D1, I2, D2 = 0, 1, 2, 3, 4
 
 
+_KERNEL_STRATEGIES = int(HeuristicStrategy.WFADAPTIVE
+                         | HeuristicStrategy.XDROP
+                         | HeuristicStrategy.ZDROP)
+
+
 def supported(cfg) -> bool:
     return (cfg.metric in (DistanceMetric.GAP_AFFINE,
                            DistanceMetric.GAP_AFFINE_2P)
-            and cfg.strategy in (0, int(HeuristicStrategy.WFADAPTIVE))
+            and (cfg.strategy & ~_KERNEL_STRATEGIES) == 0
             and cfg.match == 0
             and cfg.use_lcp_table
             and cfg.record_choices
@@ -80,7 +87,7 @@ def routed_tile(cfg):
     """
     if not supported(cfg):
         return None
-    if cfg.strategy & HeuristicStrategy.WFADAPTIVE:
+    if cfg.strategy:
         return 64
     if cfg.metric == DistanceMetric.GAP_AFFINE_2P:
         return None
@@ -103,7 +110,7 @@ def _ctz32(m):
 
 
 def _kernel(cfg, TB,
-            plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref,
+            plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref, zeros_ref,
             choices_ref, res_ref,
             off_ref, lohi_ref, ch_scratch, ch_sem):
     """One tile's full score loop.
@@ -128,6 +135,9 @@ def _kernel(cfg, TB,
     affine2p = cfg.metric == DistanceMetric.GAP_AFFINE_2P
     NC = n_comp(cfg)
     wfadaptive = bool(cfg.strategy & HeuristicStrategy.WFADAPTIVE)
+    xdrop = bool(cfg.strategy & HeuristicStrategy.XDROP)
+    zdrop = (not xdrop) and bool(cfg.strategy & HeuristicStrategy.ZDROP)
+    use_heuristic = cfg.strategy != 0
     end2end = cfg.span == AlignmentSpan.END_TO_END
     NQ = bits_ref.shape[0]
 
@@ -144,22 +154,13 @@ def _kernel(cfg, TB,
             ch_scratch.at[par], choices_ref.at[lvl, pl.ds(tile0, TB), :],
             ch_sem.at[par])
 
-    # zero-fill all choice levels (byte parity with the XLA engine's
-    # zero-initialized tensor; live levels are overwritten below).
-    # All copies share the zeroed scratch row, so they are started
-    # back-to-back and drained with one wait loop instead of serializing
-    # a round trip per level.
-    ch_scratch[0] = jnp.zeros((TB, W), jnp.uint8)
-
-    def zstart(lvl, _):
-        ch_store(0, lvl).start()
-        return 0
-    jax.lax.fori_loop(0, S_cap, zstart, 0)
-
-    def zwait(lvl, _):
-        ch_store(0, lvl).wait()
-        return 0
-    jax.lax.fori_loop(0, S_cap, zwait, 0)
+    # choice levels arrive pre-zeroed: the output buffer is aliased to a
+    # zeros input (byte parity with the XLA engine's zero-initialized
+    # tensor); live levels are overwritten below. An in-kernel DMA
+    # zero-fill is NOT safe here -- queueing S_cap copy starts before any
+    # wait exceeds the DMA queue depth past ~100 levels and deadlocks the
+    # device (observed at S_cap=192).
+    del zeros_ref  # aliased storage; never read in-kernel
 
     # --- WF0 (reference: wavefront_aligner.c:251-310) ---
     if cfg.span == AlignmentSpan.ENDS_FREE and cfg.match == 0:
@@ -223,7 +224,8 @@ def _kernel(cfg, TB,
         return jnp.where(band_mask(nlo, nhi), arr, NULL), nlo, nhi
 
     def body(carry):
-        s, done_i, status, final_s, end_k, end_off, nnull, h_wait = carry
+        (s, done_i, status, final_s, end_k, end_off, nnull, h_wait,
+         hm_sw, hm_k, hm_off, hm_wfs, hm_valid) = carry
         done = done_i != 0
         active = ~done
         slot = jax.lax.rem(s, scope)
@@ -300,15 +302,19 @@ def _kernel(cfg, TB,
         done = done | hit_t
         active = active & ~hit_t
 
-        # --- WF-adaptive cutoff (reference: wavefront_heuristic.c:176-293,
-        # cascade driver :509-567); band-shrink of slot s before compute
-        # reads it, mirroring engine._heuristic_cutoff byte-for-byte ---
-        if wfadaptive:
+        # --- heuristic cascade (reference: wavefront_heuristic.c:509-567):
+        # wf-adaptive -> x-drop|z-drop, each stage re-checking steps_wait
+        # at entry; band-shrink of slot s before compute reads it,
+        # mirroring engine._heuristic_cutoff byte-for-byte ---
+        if use_heuristic:
             eligible = active & ~m_null
             h_wait = jnp.where(eligible, h_wait - 1, h_wait)
+            cur_lo, cur_hi = m_lo, m_hi
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+        if wfadaptive:
             ready = eligible & (h_wait <= 0)
-            do_h = ready & ((m_hi - m_lo + 1) >= cfg.min_wavefront_length)
-            hband = band_mask(m_lo, m_hi)
+            do_h = ready & ((cur_hi - cur_lo + 1) >= cfg.min_wavefront_length)
+            hband = band_mask(cur_lo, cur_hi)
             v_h = m_off - karr
             dist = jnp.maximum(plen - v_h, tlen - m_off)
             dist = jnp.where(m_off >= 0, dist, jnp.int32(-NULL))
@@ -316,16 +322,15 @@ def _kernel(cfg, TB,
                            axis=1, keepdims=True)
             keep = (dist - mind) <= cfg.max_distance_threshold
             ak_h = tlen - plen
-            iota_h = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
             # reduce from bottom over [lo, min(ak, hi))
-            top_limit = jnp.minimum(ak_h, m_hi)
+            top_limit = jnp.minimum(ak_h, cur_hi)
             stop_bot = hband & (karr < top_limit) & keep
             any_bot = stop_bot.any(axis=1, keepdims=True)
             first_keep = jnp.min(jnp.where(stop_bot, iota_h, W), axis=1,
                                  keepdims=True) + kmin
             lo_red = jnp.where(any_bot, first_keep,
-                               jnp.maximum(top_limit, m_lo))
-            new_lo = jnp.where(do_h, jnp.maximum(lo_red, m_lo), m_lo)
+                               jnp.maximum(top_limit, cur_lo))
+            new_lo = jnp.where(do_h, jnp.maximum(lo_red, cur_lo), cur_lo)
             # reduce from top over (max(ak, new_lo), hi]
             bot_limit = jnp.maximum(ak_h, new_lo)
             stop_top = hband & (karr > bot_limit) & keep
@@ -333,23 +338,81 @@ def _kernel(cfg, TB,
             last_keep = jnp.max(jnp.where(stop_top, iota_h, -1), axis=1,
                                 keepdims=True) + kmin
             hi_red = jnp.where(any_top, last_keep,
-                               jnp.minimum(bot_limit, m_hi))
-            new_hi = jnp.where(do_h, jnp.minimum(hi_red, m_hi), m_hi)
+                               jnp.minimum(bot_limit, cur_hi))
+            new_hi = jnp.where(do_h, jnp.minimum(hi_red, cur_hi), cur_hi)
             h_wait = jnp.where(do_h, cfg.steps_between_cutoffs, h_wait)
-            changed = eligible & ((new_lo != m_lo) | (new_hi != m_hi))
-            m_off = jnp.where(changed & ~band_mask(new_lo, new_hi), NULL,
+            cur_lo, cur_hi = new_lo, new_hi
+        if xdrop or zdrop:
+            # (reference: wavefront_heuristic.c:338-450; engine parity
+            # incl. the re-checked steps_wait entry guard)
+            do_d = eligible & (h_wait <= 0)
+            dband = band_mask(cur_lo, cur_hi)
+            v_d = m_off - karr
+            num = (v_d + m_off) - s  # swg_match == 1 (match == 0)
+            sw = jnp.where(num >= 0, num >> 1, -((-num) >> 1))
+            validc = dband & (m_off >= 0)
+            neg_big = jnp.int32(-2**30)
+            swm = jnp.where(validc, sw, neg_big)
+            cmax = jnp.max(swm, axis=1, keepdims=True)
+            # first lane attaining the max (engine argmax semantics)
+            cidx = jnp.min(jnp.where(swm == cmax, iota_h, W), axis=1,
+                           keepdims=True)
+            cmax_k = cidx + kmin
+            sel_c = iota_h == cidx
+            cmax_off = jnp.sum(jnp.where(sel_c, m_off, 0), axis=1,
+                               keepdims=True)
+            have_hist = hm_valid != 0
+            if xdrop:
+                prune = do_d & have_hist
+                keepx = validc & ((hm_sw - sw) < cfg.xdrop)
+                any_keep = keepx.any(axis=1, keepdims=True)
+                firstx = jnp.min(jnp.where(keepx, iota_h, W), axis=1,
+                                 keepdims=True) + kmin
+                lastx = jnp.max(jnp.where(keepx, iota_h, -1), axis=1,
+                                keepdims=True) + kmin
+                cur_lo = jnp.where(prune, jnp.where(any_keep, firstx,
+                                                    cur_hi + 1), cur_lo)
+                cur_hi = jnp.where(prune, jnp.where(any_keep, lastx,
+                                                    cur_lo - 1), cur_hi)
+                upd = do_d & ((~have_hist) | (cmax > hm_sw))
+                hm_sw = jnp.where(upd, cmax, hm_sw)
+                hm_k = jnp.where(upd, cmax_k, hm_k)
+                hm_valid = jnp.where(do_d, 1, hm_valid)
+                h_wait = jnp.where(do_d, cfg.steps_between_cutoffs, h_wait)
+            else:  # zdrop
+                improved = cmax > hm_sw
+                zdropped = do_d & have_hist & (~improved) & (
+                    (hm_sw - cmax) > cfg.zdrop)
+                upd = do_d & ((~have_hist) | improved)
+                hm_sw = jnp.where(upd, cmax, hm_sw)
+                hm_wfs = jnp.where(upd, s, hm_wfs)
+                hm_k = jnp.where(upd, cmax_k, hm_k)
+                hm_off = jnp.where(upd, cmax_off, hm_off)
+                hm_valid = jnp.where(do_d, 1, hm_valid)
+                h_wait = jnp.where(do_d & ~zdropped,
+                                   cfg.steps_between_cutoffs, h_wait)
+                status = jnp.where(zdropped, ST_END_UNREACHABLE, status)
+                final_s = jnp.where(zdropped, s, final_s)
+                end_k = jnp.where(zdropped, hm_k, end_k)
+                end_off = jnp.where(zdropped, hm_off, end_off)
+                done = done | zdropped
+                active = active & ~zdropped
+        if use_heuristic:
+            # install the pruned M band + equate I/D once per cascade
+            # (reference: heuristic.c:554-565)
+            changed = eligible & ((cur_lo != m_lo) | (cur_hi != m_hi))
+            m_off = jnp.where(changed & ~band_mask(cur_lo, cur_hi), NULL,
                               m_off)
             off_ref[M * scope + slot] = m_off
             lohi_ref[M * scope + slot] = jnp.concatenate(
-                [jnp.where(changed, new_lo, m_lo),
-                 jnp.where(changed, new_hi, m_hi)], axis=1)
-            # equate I/D bands to M's (reference: heuristic.c:554-565)
+                [jnp.where(changed, cur_lo, m_lo),
+                 jnp.where(changed, cur_hi, m_hi)], axis=1)
             for comp in range(1, NC):
                 clh = lohi_ref[comp * scope + slot]
                 clo = clh[:, 0:1]
                 chi = clh[:, 1:2]
-                nlo = jnp.where(changed, jnp.maximum(clo, new_lo), clo)
-                nhi = jnp.where(changed, jnp.minimum(chi, new_hi), chi)
+                nlo = jnp.where(changed, jnp.maximum(clo, cur_lo), clo)
+                nhi = jnp.where(changed, jnp.minimum(chi, cur_hi), chi)
                 coff = off_ref[comp * scope + slot]
                 coff = jnp.where(changed & ~band_mask(nlo, nhi), NULL, coff)
                 off_ref[comp * scope + slot] = coff
@@ -511,7 +574,7 @@ def _kernel(cfg, TB,
         final_s = jnp.where(hit_max, s1, final_s)
         done = done | hit_max
         return (s1, done.astype(jnp.int32), status, final_s, end_k, end_off,
-                nnull, h_wait)
+                nnull, h_wait, hm_sw, hm_k, hm_off, hm_wfs, hm_valid)
 
     def cond(carry):
         s, done_i, *_ = carry
@@ -526,9 +589,14 @@ def _kernel(cfg, TB,
         jnp.full((TB, 1), NULL, jnp.int32),
         jnp.zeros((TB, 1), jnp.int32),
         jnp.full((TB, 1), cfg.steps_between_cutoffs, jnp.int32),
+        jnp.zeros((TB, 1), jnp.int32),            # hm_sw
+        jnp.zeros((TB, 1), jnp.int32),            # hm_k
+        jnp.full((TB, 1), NULL, jnp.int32),       # hm_off
+        jnp.zeros((TB, 1), jnp.int32),            # hm_wfs
+        jnp.zeros((TB, 1), jnp.int32),            # hm_valid
     )
-    (s, done_i, status, final_s, end_k, end_off, nnull,
-     _h_wait) = jax.lax.while_loop(cond, body, init)
+    (s, done_i, status, final_s, end_k, end_off, nnull, _h_wait,
+     *_hm) = jax.lax.while_loop(cond, body, init)
 
     # drain the (up to two) still-in-flight double-buffered choice copies:
     # in-loop waits cover copies 1..s-2, leaving s-1 and s outstanding
@@ -582,7 +650,9 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((NQ, TB, W), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros, aliased to choices
         ],
+        input_output_aliases={5: 0},
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TB, 8), lambda i: (i, 0),
@@ -597,7 +667,8 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
         ],
         interpret=interpret,
     )(plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),
-      frees.astype(jnp.int32), max_steps.reshape(1, 1), bits)
+      frees.astype(jnp.int32), max_steps.reshape(1, 1), bits,
+      jnp.zeros((S_cap, B, W), jnp.uint8))
     return dict(
         status=res[:, 0], final_s=res[:, 1], end_k=res[:, 2],
         end_off=res[:, 3], choices=choices,

@@ -182,3 +182,29 @@ def test_lcp_hmajor_cross_block_carry():
     # the k=0 diagonal run at h=0 must span the full identical sequence
     w0 = -cfg.kmin
     assert ref[0, w0, 0] == L
+
+
+def test_drops_match_xla():
+    """X-drop pruning and Z-drop abandonment inside the fused kernel
+    (reference: wavefront_heuristic.c:338-450), incl. historic-max end
+    positions for dropped pairs."""
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    hz = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=12,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(41, sub=0.3, ind=0.2), "end-to-end",
+              heuristic=hz)
+    hx = HeuristicParams(strategy=HeuristicStrategy.XDROP, xdrop=10,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(42, sub=0.3, ind=0.2), "end-to-end",
+              heuristic=hx)
+    hc = HeuristicParams(strategy=(HeuristicStrategy.WFADAPTIVE
+                                   | HeuristicStrategy.ZDROP),
+                         min_wavefront_length=5, max_distance_threshold=15,
+                         zdrop=15, steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(43, sub=0.3, ind=0.2), "end-to-end",
+              heuristic=hc)
+    hz2 = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=12,
+                          steps_between_cutoffs=2)
+    _run_both(_divergent_pairs(44, sub=0.35, ind=0.2), "ends-free",
+              frees_row=(5, 5, 5, 5), heuristic=hz2)

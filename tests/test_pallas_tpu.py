@@ -118,3 +118,15 @@ def test_tpu_full_pipeline_batch():
         o = orc.align(p.encode(), t.encode())
         assert (res[i].status, res[i].score, res[i].ops) == \
             (o.status, o.score, o.ops), i
+
+
+def test_tpu_drops():
+    _tpu_or_skip()
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    hz = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=12,
+                         steps_between_cutoffs=1)
+    _run_both(_pairs(36, sub=0.3, ind=0.2), "end-to-end", heuristic=hz)
+    hx = HeuristicParams(strategy=HeuristicStrategy.XDROP, xdrop=10,
+                         steps_between_cutoffs=1)
+    _run_both(_pairs(37, sub=0.3, ind=0.2), "end-to-end", heuristic=hx)
