@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -471,11 +472,10 @@ def _est_step_seconds(cfg, B: int) -> float:
     return lanes * per
 
 
-def _print_progress(attr0, cfg, B, s_now, state, snaps_bytes):
+def _print_progress(cfg, B, s_now, state, snaps_bytes):
     """One in-flight progress line (verbose >= 3 analog of the reference's
     probe printer, wavefront_unialign.c:277-324), emitted at segment
     boundaries of the long-running paths."""
-    import sys as _sys
     slot = s_now % cfg.scope
     off = np.asarray(state["offsets"][E.M, slot])
     status = np.asarray(state["status"])
@@ -497,7 +497,7 @@ def _print_progress(attr0, cfg, B, s_now, state, snaps_bytes):
           f"MemoryUsed(device,host-snapshots)=({dev_mb:.0f} MB,"
           f"{snaps_bytes / 2**20:.0f} MB). "
           f"Wavefronts ~ {lohi.max(initial=0) / 1e6:2.3f} Moffsets",
-          file=_sys.stderr, flush=True)
+          file=sys.stderr, flush=True)
 
 
 def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
@@ -575,7 +575,7 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         s_now = int(snap["s"])
         if verbose >= 4 or (verbose >= 3 and s_now >= next_probe):
             next_probe = (s_now // probe + 1) * probe
-            _print_progress(attr0, cfg, B, s_now, snap, snaps_bytes)
+            _print_progress(cfg, B, s_now, snap, snaps_bytes)
         out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
                                           max_steps, state)
     n_segments = len(snaps) + 1
@@ -1104,10 +1104,9 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
     if escalate_idx:
         # geometric escalation: 4x the score cap, band sized to match
         if attr0.system.verbose >= 3:
-            import sys as _sys
             print(f"[pywfa_tpu::align] escalating {len(escalate_idx)}/{B} "
                   f"pairs past bucket (W={cfg.W}, S_cap={cfg.S_cap})",
-                  file=_sys.stderr, flush=True)
+                  file=sys.stderr, flush=True)
         sub_p = [patterns[b] for b in escalate_idx]
         sub_t = [texts[b] for b in escalate_idx]
         next_S = min(cfg.S_cap * 4, full_probe.S_cap)

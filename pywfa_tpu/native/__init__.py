@@ -52,8 +52,12 @@ def lib() -> Optional[ctypes.CDLL]:
     c_u8p = ctypes.POINTER(ctypes.c_uint8)
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
-    if not hasattr(L, "wfa_pack2_batch"):
-        return None  # stale .so without the current symbol set
+    if not hasattr(L, "wfa_abi_version"):
+        return None  # stale .so predating the ABI version sentinel
+    L.wfa_abi_version.restype = ctypes.c_int64
+    L.wfa_abi_version.argtypes = []
+    if L.wfa_abi_version() != 2:
+        return None  # stale .so with a different exported-signature set
     L.wfa_match_fill_batch.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p,
         c_u8p, ctypes.c_int64, c_i64p,

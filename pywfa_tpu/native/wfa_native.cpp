@@ -40,6 +40,11 @@ inline bool chars_match(uint8_t a, uint8_t b, int wildcard) {
 
 extern "C" {
 
+// Bumped on every exported-signature change; the loader refuses a .so
+// whose version doesn't match (a stale binary with make unavailable
+// would otherwise be called with a shifted argument list).
+int64_t wfa_abi_version() { return 2; }
+
 // Expand one pair's reversed walk-op stream into per-base numeric ops.
 //
 //   ops_fwd:  [stride] uint8 forward-order sparse op stream (scan n_ops entries)

@@ -210,19 +210,6 @@ def _kernel(cfg, TB,
     def pack(value, prio):
         return jnp.where(value >= 0, (value << 3) | prio, jnp.int32(-2**30))
 
-    def trim(arr, lo, hi):
-        band = band_mask(lo, hi)
-        v = arr - karr
-        h = arr
-        inb = band & (h >= 0) & (h <= tlen) & (v >= 0) & (v <= plen)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
-        first = jnp.min(jnp.where(inb, iota, W), axis=1, keepdims=True) + kmin
-        last = jnp.max(jnp.where(inb, iota, -1), axis=1, keepdims=True) + kmin
-        any_ok = inb.any(axis=1, keepdims=True)
-        nlo = jnp.where(any_ok, first, 1)
-        nhi = jnp.where(any_ok, last, -1)
-        return jnp.where(band_mask(nlo, nhi), arr, NULL), nlo, nhi
-
     def body(carry):
         (s, done_i, status, final_s, end_k, end_off, nnull, h_wait,
          hm_sw, hm_k, hm_off, hm_wfs, hm_valid) = carry

@@ -24,6 +24,7 @@ B, L = 16, 64
 
 def _free_port():
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
@@ -53,8 +54,12 @@ def _launch(nproc, port, tmp_path, iters=1):
 
 
 def test_two_process_matches_single(tmp_path):
-    port = _free_port()
-    recs2 = _launch(2, port, tmp_path)
+    # port probing is racy (another process can bind between probe and
+    # coordinator bring-up); retry once on a fresh port
+    try:
+        recs2 = _launch(2, _free_port(), tmp_path)
+    except (AssertionError, subprocess.TimeoutExpired):
+        recs2 = _launch(2, _free_port(), tmp_path)
     assert all(r["global_devices"] == 4 for r in recs2)
     assert all(r["local_devices"] == 2 for r in recs2)
     # both processes must see the SAME gathered (replicated) results

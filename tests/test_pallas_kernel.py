@@ -66,21 +66,8 @@ def test_endsfree_matches_xla():
 
 
 def _divergent_pairs(seed, n=6, lo=30, hi=120, sub=0.15, ind=0.1):
-    import random
-    rng = random.Random(seed)
-    out = []
-    for _ in range(n):
-        p = "".join(rng.choice("ACGT") for _ in range(rng.randint(lo, hi)))
-        t = []
-        for c in p:
-            r = rng.random()
-            if r < ind / 2:
-                continue
-            if r < ind:
-                t.append(rng.choice("ACGT"))
-            t.append(c if rng.random() > sub else rng.choice("ACGT"))
-        out.append((p, "".join(t) or "A"))
-    return out
+    from tests.corpus import random_pairs
+    return random_pairs(seed, n, lo, hi, sub, ind)
 
 
 def test_affine2p_matches_xla():

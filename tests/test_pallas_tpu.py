@@ -61,20 +61,8 @@ def _run_both(pairs, span, frees_row=(0, 0, 0, 0), distance="affine",
 
 
 def _pairs(seed, n=8, lo=30, hi=150, sub=0.12, ind=0.08):
-    rng = random.Random(seed)
-    out = []
-    for _ in range(n):
-        p = "".join(rng.choice("ACGT") for _ in range(rng.randint(lo, hi)))
-        t = []
-        for c in p:
-            r = rng.random()
-            if r < ind / 2:
-                continue
-            if r < ind:
-                t.append(rng.choice("ACGT"))
-            t.append(c if rng.random() > sub else rng.choice("ACGT"))
-        out.append((p, "".join(t) or "A"))
-    return out
+    from tests.corpus import random_pairs
+    return random_pairs(seed, n, lo, hi, sub, ind)
 
 
 def test_tpu_affine_end2end():

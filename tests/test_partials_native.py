@@ -20,30 +20,12 @@ from pywfa_tpu.constants import HeuristicStrategy
 from pywfa_tpu.oracle import OracleAligner
 
 
-def _mutate(rng, p, sub, ind):
-    t = []
-    for c in p:
-        r = rng.random()
-        if r < ind / 2:
-            continue
-        if r < ind:
-            t.append(rng.choice("ACGT"))
-        t.append(c if rng.random() > sub else rng.choice("ACGT"))
-    return "".join(t) or "A"
+from tests.corpus import mutate as _mutate, random_pairs
 
 
 def _pairs(seed, n, sub, ind, unrelated=0.2, lo=40, hi=180):
-    rng = random.Random(seed)
-    out = []
-    for _ in range(n):
-        p = "".join(rng.choice("ACGT") for _ in range(rng.randint(lo, hi)))
-        if rng.random() < unrelated:
-            t = "".join(rng.choice("ACGT")
-                        for _ in range(rng.randint(lo, hi)))
-        else:
-            t = _mutate(rng, p, sub, ind)
-        out.append((p.encode(), t.encode()))
-    return out
+    return random_pairs(seed, n, lo, hi, sub, ind, unrelated=unrelated,
+                        as_bytes=True)
 
 
 @pytest.fixture

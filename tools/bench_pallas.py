@@ -65,7 +65,7 @@ def main():
     frees = jnp.zeros((B, 4), dtype=jnp.int32)
     ms = jnp.int32(2**31 - 1)
 
-    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap} dist={dist} heur={os.environ.get(chr(66)+chr(69)+chr(78)+chr(67)+chr(72)+chr(95)+chr(72)+chr(69)+chr(85)+chr(82), chr(45))}")
+    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap} dist={dist} heur={os.environ.get("BENCH_HEUR", "-")}")
 
     # --- XLA path ---
     def run_xla():
