@@ -321,11 +321,13 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
     pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
     if pt is not None:
         fused2 = np.concatenate([pp, pt], axis=1)
-        return E.align_batch_pallas_packed_full(cfg, TB, B, fused2, plen,
-                                                tlen, frees, max_steps)
+        fn = (E.align_batch_pallas_packed_full if scope_full
+              else E.align_batch_pallas_packed_meta)
+        return fn(cfg, TB, B, fused2, plen, tlen, frees, max_steps)
     fused = np.concatenate([pat_np, txt_np], axis=1)
-    return E.align_batch_pallas_fused_full(cfg, TB, B, fused, plen, tlen,
-                                           frees, max_steps)
+    fn = (E.align_batch_pallas_fused_full if scope_full
+          else E.align_batch_pallas_fused_meta)
+    return fn(cfg, TB, B, fused, plen, tlen, frees, max_steps)
 
 
 @dataclasses.dataclass

@@ -1819,6 +1819,33 @@ def align_batch_pallas_fused_full(cfg: EngineConfig, TB: int, nb: int,
     return _pack_full(cfg, _slice_out(out, nb))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def align_batch_pallas_packed_meta(cfg: EngineConfig, TB: int, nb: int,
+                                   packed, plen, tlen, frees, max_steps):
+    """Score-only Pallas pipeline (no choices recorded, no choice DMAs):
+    2-bit decode + eq-bits + the fused kernel + meta packing in one call."""
+    from .pallas import fused_loop
+    plen = plen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    pat, txt = _decode_packed(cfg, packed, plen, tlen)
+    bits = _build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, bits, plen, tlen, frees,
+                                        max_steps)
+    return _pack_meta(_slice_out(out, nb))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def align_batch_pallas_fused_meta(cfg: EngineConfig, TB: int, nb: int,
+                                  fused, plen, tlen, frees, max_steps):
+    """As align_batch_pallas_packed_meta but from fused token rows."""
+    from .pallas import fused_loop
+    pat, txt = _decode_fused(cfg, fused)
+    bits = _build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, TB, bits, plen, tlen, frees,
+                                        max_steps)
+    return _pack_meta(_slice_out(out, nb))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def align_batch_fused_meta(cfg: EngineConfig, fused, plen, tlen, frees,
                            max_steps):

@@ -63,7 +63,6 @@ def supported(cfg) -> bool:
             and (cfg.strategy & ~_KERNEL_STRATEGIES) == 0
             and cfg.match == 0
             and cfg.use_lcp_table
-            and cfg.record_choices
             # the choices HBM-stream DMA slices [TB, W] out of
             # [S_cap, B, W]; Mosaic requires the lane dim 128-aligned
             and cfg.W % 128 == 0)
@@ -110,9 +109,7 @@ def _ctz32(m):
 
 
 def _kernel(cfg, TB,
-            plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref, zeros_ref,
-            choices_ref, res_ref,
-            off_ref, lohi_ref, ch_scratch, ch_sem):
+            plen_ref, tlen_ref, frees_ref, msteps_ref, bits_ref, *refs):
     """One tile's full score loop.
 
     plen/tlen: [TB, 1] i32; frees: [TB, 4] i32; msteps: [1, 1] SMEM
@@ -123,6 +120,12 @@ def _kernel(cfg, TB,
     res out: [TB, 8] i32 (status, final_s, end_k, end_off)
     scratch off: [NC * scope, TB, W] i32; lohi: [NC * scope, TB, 2] i32
     """
+    record = cfg.record_choices
+    if record:
+        (zeros_ref, choices_ref, res_ref, off_ref, lohi_ref, ch_scratch,
+         ch_sem) = refs
+    else:
+        res_ref, off_ref, lohi_ref = refs
     W = cfg.W
     scope = cfg.scope
     S_cap = cfg.S_cap
@@ -146,21 +149,22 @@ def _kernel(cfg, TB,
     tlen = tlen_ref[:, :]
     msteps = msteps_ref[0, 0]
 
-    # this tile's slice of the HBM-resident choices output
-    tile0 = pl.program_id(0) * TB
+    if record:
+        # this tile's slice of the HBM-resident choices output
+        tile0 = pl.program_id(0) * TB
 
-    def ch_store(par, lvl):
-        return pltpu.make_async_copy(
-            ch_scratch.at[par], choices_ref.at[lvl, pl.ds(tile0, TB), :],
-            ch_sem.at[par])
+        def ch_store(par, lvl):
+            return pltpu.make_async_copy(
+                ch_scratch.at[par], choices_ref.at[lvl, pl.ds(tile0, TB), :],
+                ch_sem.at[par])
 
-    # choice levels arrive pre-zeroed: the output buffer is aliased to a
-    # zeros input (byte parity with the XLA engine's zero-initialized
-    # tensor); live levels are overwritten below. An in-kernel DMA
-    # zero-fill is NOT safe here -- queueing S_cap copy starts before any
-    # wait exceeds the DMA queue depth past ~100 levels and deadlocks the
-    # device (observed at S_cap=192).
-    del zeros_ref  # aliased storage; never read in-kernel
+        # choice levels arrive pre-zeroed: the output buffer is aliased
+        # to a zeros input (byte parity with the XLA engine's
+        # zero-initialized tensor); live levels are overwritten below. An
+        # in-kernel DMA zero-fill is NOT safe here -- queueing S_cap copy
+        # starts before any wait exceeds the DMA queue depth past ~100
+        # levels and deadlocks the device (observed at S_cap=192).
+        del zeros_ref  # aliased storage; never read in-kernel
 
     # --- WF0 (reference: wavefront_aligner.c:251-310) ---
     if cfg.span == AlignmentSpan.ENDS_FREE and cfg.match == 0:
@@ -542,19 +546,20 @@ def _kernel(cfg, TB,
             lohi_ref[c * scope + slot1] = jnp.concatenate(
                 [tlo3[c], thi3[c]], axis=1)
 
-        # double-buffered choice store: wait the copy issued two steps ago
-        # on this parity, refill the scratch row, start the copy, and keep
-        # computing -- the DMA drains during the next step instead of
-        # stalling this one
-        par = jax.lax.rem(s1, 2)
+        if record:
+            # double-buffered choice store: wait the copy issued two
+            # steps ago on this parity, refill the scratch row, start the
+            # copy, and keep computing -- the DMA drains during the next
+            # step instead of stalling this one
+            par = jax.lax.rem(s1, 2)
 
-        @pl.when(s1 >= 3)
-        def _wait_prev():
-            ch_store(par, s1).wait()  # same shape: waits copy (s1 - 2)
+            @pl.when(s1 >= 3)
+            def _wait_prev():
+                ch_store(par, s1).wait()  # same shape: waits copy (s1 - 2)
 
-        ch_scratch[par] = jnp.where(band_mask(lo_n, hi_n) & write, choice,
-                                    jnp.uint8(0))
-        ch_store(par, s1).start()
+            ch_scratch[par] = jnp.where(band_mask(lo_n, hi_n) & write,
+                                        choice, jnp.uint8(0))
+            ch_store(par, s1).start()
 
         hit_max = active & (s1 >= msteps)
         status = jnp.where(hit_max, ST_MAX_STEPS, status)
@@ -585,15 +590,16 @@ def _kernel(cfg, TB,
     (s, done_i, status, final_s, end_k, end_off, nnull, _h_wait,
      *_hm) = jax.lax.while_loop(cond, body, init)
 
-    # drain the (up to two) still-in-flight double-buffered choice copies:
-    # in-loop waits cover copies 1..s-2, leaving s-1 and s outstanding
-    @pl.when(s >= 1)
-    def _drain_last():
-        ch_store(jax.lax.rem(s, 2), 0).wait()
+    if record:
+        # drain the (up to two) in-flight double-buffered choice copies:
+        # in-loop waits cover copies 1..s-2, leaving s-1 and s outstanding
+        @pl.when(s >= 1)
+        def _drain_last():
+            ch_store(jax.lax.rem(s, 2), 0).wait()
 
-    @pl.when(s >= 2)
-    def _drain_prev():
-        ch_store(jax.lax.rem(s + 1, 2), 0).wait()
+        @pl.when(s >= 2)
+        def _drain_prev():
+            ch_store(jax.lax.rem(s + 1, 2), 0).wait()
 
     running = done_i == 0
     status = jnp.where(running, ST_OVERFLOW_S, status)
@@ -619,45 +625,54 @@ def align_batch_pallas(cfg, TB, bits, plen, tlen, frees, max_steps):
     interpret = jax.default_backend() == "cpu"
 
     kernel = functools.partial(_kernel, cfg, TB)
-    out_shapes = (
-        jax.ShapeDtypeStruct((S_cap, B, W), jnp.uint8),
-        jax.ShapeDtypeStruct((B, 8), jnp.int32),
-    )
-    choices, res = pl.pallas_call(
+    record = cfg.record_choices
+    in_specs = [
+        pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((NQ, TB, W), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    res_spec = pl.BlockSpec((TB, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    res_shape = jax.ShapeDtypeStruct((B, 8), jnp.int32)
+    scratch = [
+        pltpu.VMEM((n_comp(cfg) * scope, TB, W), jnp.int32),
+        pltpu.VMEM((n_comp(cfg) * scope, TB, 2), jnp.int32),
+    ]
+    args = [plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),
+            frees.astype(jnp.int32), max_steps.reshape(1, 1), bits]
+    if record:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # zeros->choices
+        args.append(jnp.zeros((S_cap, B, W), jnp.uint8))
+        choices, res = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            input_output_aliases={5: 0},
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY), res_spec),
+            out_shape=(jax.ShapeDtypeStruct((S_cap, B, W), jnp.uint8),
+                       res_shape),
+            scratch_shapes=scratch + [
+                pltpu.VMEM((2, TB, W), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(*args)
+        out = dict(status=res[:, 0], final_s=res[:, 1], end_k=res[:, 2],
+                   end_off=res[:, 3], choices=choices,
+                   steps=jnp.max(res[:, 1]))
+        return out
+    # score-only scope: no traceback record, no choice DMAs at all
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NQ, TB, W), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # zeros, aliased to choices
-        ],
-        input_output_aliases={5: 0},
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TB, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((n_comp(cfg) * scope, TB, W), jnp.int32),
-            pltpu.VMEM((n_comp(cfg) * scope, TB, 2), jnp.int32),
-            pltpu.VMEM((2, TB, W), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=res_spec,
+        out_shape=res_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(plen[:, None].astype(jnp.int32), tlen[:, None].astype(jnp.int32),
-      frees.astype(jnp.int32), max_steps.reshape(1, 1), bits,
-      jnp.zeros((S_cap, B, W), jnp.uint8))
-    return dict(
-        status=res[:, 0], final_s=res[:, 1], end_k=res[:, 2],
-        end_off=res[:, 3], choices=choices,
-        steps=jnp.max(res[:, 1]),
-    )
+    )(*args)
+    return dict(status=res[:, 0], final_s=res[:, 1], end_k=res[:, 2],
+                end_off=res[:, 3], steps=jnp.max(res[:, 1]))

@@ -195,3 +195,32 @@ def test_drops_match_xla():
                           steps_between_cutoffs=2)
     _run_both(_divergent_pairs(44, sub=0.35, ind=0.2), "ends-free",
               frees_row=(5, 5, 5, 5), heuristic=hz2)
+
+
+def test_score_only_matches_xla():
+    """The no-choices kernel variant (scope=score: no traceback record,
+    no choice DMAs) must produce identical meta results."""
+    import dataclasses
+    pairs = _divergent_pairs(51, sub=0.2, ind=0.12)
+    maxLp = max(len(p) for p, _ in pairs)
+    maxLt = max(len(t) for _, t in pairs)
+    attr = WavefrontAligner(backend="numpy", span="end-to-end")._attributes()
+    cfg = E.full_config(attr, maxLp, maxLt, record_choices=False)
+    assert fused_loop.supported(cfg)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.zeros((len(pairs), 4), jnp.int32)
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, len(pairs), bits, plen, tlen,
+                                        frees, ms)
+    assert "choices" not in out
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)

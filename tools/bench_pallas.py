@@ -84,7 +84,7 @@ def main():
                                             frees, ms)
         return E._pack_full(cfg, out)
 
-    for TB in (32, 64, 128, 256, 512):
+    for TB in (8, 16, 32, 64, 128, 256, 512):
         if fused_loop.n_comp(cfg) * cfg.scope * TB * cfg.W * 4 > 10 * 2**20:
             continue
         def run_p():
