@@ -54,6 +54,12 @@ def main():
     W = int(os.environ.get("BENCH_W", 128))
     S_cap = int(os.environ.get("BENCH_SCAP", 96))
     cfg = E.full_config(attr, L, L, W=W, S_cap=S_cap)
+    # production parity: dispatch compacts the walk-op pull at
+    # non-terminal rungs (batch.align_pairs_dispatch ops_out rule)
+    import dataclasses as _dc
+    oc = min(cfg.S_cap, max(64, E._round_up(cfg.S_cap // 3, 2)))
+    if oc < cfg.S_cap:
+        cfg = _dc.replace(cfg, ops_out=oc)
     C = cfg.extend_chunk
 
     pat_np = encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL)
@@ -89,8 +95,11 @@ def main():
 
     # warm-up / compile + correctness probe
     packed = np.asarray(run())
-    meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
-    status, fb = meta[0], meta[6]
+    if E.packed_layout(cfg) == "compact":
+        status, fb = packed[:B].astype(np.int32), packed[B: 2 * B]
+    else:
+        meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
+        status, fb = meta[0], meta[6]
     n_ok = int((status == E.ST_END_REACHED).sum())
     assert n_ok == B, f"only {n_ok}/{B} pairs completed in bucket"
     assert not fb.any(), "traceback fallback triggered"

@@ -51,7 +51,14 @@ __all__ = [
 
 @dataclass
 class AlignmentResult:
-    """Holds the result of an alignment (reference: align.pyx:17-180)."""
+    """Holds the result of an alignment.
+
+    Field set, derived properties and every output format are byte-pinned
+    to the reference's result class (reference: align.pyx:17-180),
+    including its quirks -- see the notes on `pretty` and
+    `_gap_expand`. The implementation below is this project's own; only
+    observable behavior is mirrored.
+    """
 
     pattern_length: int
     text_length: int
@@ -65,64 +72,38 @@ class AlignmentResult:
     text: str
     status: int
 
-    def __init__(self, pl, tl, ps, pe, ts, te, ct, s, p, t, status):
-        self.pattern_length = pl
-        self.text_length = tl
-        self.pattern_start = ps
-        self.pattern_end = pe
-        self.text_start = ts
-        self.text_end = te
-        self.cigartuples = ct
-        self.score = s
-        self.pattern = p
-        self.text = t
-        self.status = status
+    _REPR_FIELDS = ("score", "pattern_start", "pattern_end", "text_start",
+                    "text_end", "cigartuples", "pattern", "text")
 
     def __repr__(self):
-        data = ['score',
-                'pattern_start',
-                'pattern_end',
-                'text_start',
-                'text_end',
-                'cigartuples',
-                'pattern',
-                'text']
-        d = self.__dict__
-        s = ""
-        for k in data:
-            s += f"    {k}: {d[k]}\n"
-        return s
+        return "".join(f"    {k}: {getattr(self, k)}\n"
+                       for k in self._REPR_FIELDS)
 
     def __str__(self):
+        # 5-line summary, sequences/cigar truncated at 30 chars
+        # (reference: align.pyx:57-73 format, byte-pinned)
         score = "Score: %d" % self.score
-        if self.pattern and self.cigartuples:
-            t = self.aligned_text
-            p = self.aligned_pattern
-            if len(t) > 30:
-                t = t[:30] + "..."
-                p = p[:30] + "..."
-            c = self.cigarstring
-            if len(c) > 30:
-                c = c[:30]
-            length = "Length: %d" % len(t)
-            return "\n".join([p, t, c, score, length])
-        return score
+        if not (self.pattern and self.cigartuples):
+            return score
+        p, t = self.aligned_pattern, self.aligned_text
+        if len(t) > 30:
+            p, t = p[:30] + "...", t[:30] + "..."
+        return "\n".join([p, t, self.cigarstring[:30], score,
+                          "Length: %d" % len(t)])
 
     @property
     def aligned_pattern(self):
         """Pattern sequence aligned by the cigar; None if suppressed."""
         if self.pattern:
-            return self._get_aligned_sequence(
-                self.pattern, self.cigartuples,
-                self.pattern_start, self.pattern_end, "D")
+            return self._gap_expand(self.pattern, self.pattern_start,
+                                    self.pattern_end)
 
     @property
     def aligned_text(self):
         """Text sequence aligned by the cigar; None if suppressed."""
         if self.text:
-            return self._get_aligned_sequence(
-                self.text, self.cigartuples,
-                self.text_start, self.text_end, "I")
+            return self._gap_expand(self.text, self.text_start,
+                                    self.text_end)
 
     @property
     def cigarstring(self):
@@ -130,140 +111,125 @@ class AlignmentResult:
 
     @property
     def pretty(self):
-        """Pretty format (reference: align.pyx:122-165)."""
-        s = f"{self.cigarstring}      ALIGNMENT\n"
-        s += (f"{cigartuples_to_str([i for i in self.cigartuples if i[0] != 0 and i[0] != [8]])}"
-              "      ALIGNMENT.COMPACT\n")
-        p = "      PATTERN    "
-        g = "                 "
-        t = "      TEXT       "
-        pat = self.pattern
-        pi = 0
-        txt = self.text
-        ti = 0
-        for opp, l in self.cigartuples:
-            if opp in (1, 4, 5):
-                t += txt[ti: ti + l]
-                ti += l
-                p += "-" * l
-                g += " " * l
-            elif opp in (0, 7):
-                t += txt[ti: ti + l]
-                ti += l
-                p += pat[pi: pi + l]
-                pi += l
-                g += "|" * l
-            elif opp == 2:
-                t += "-" * l
-                p += pat[pi: pi + l]
-                pi += l
-                g += " " * l
-            elif opp == 8:
-                t += txt[ti: ti + l]
-                ti += l
-                p += pat[pi: pi + l]
-                pi += l
-                g += "*" * l
-            else:
+        """Pretty format (reference: align.pyx:122-165, byte-pinned).
+
+        Quirk kept for parity: the reference's ALIGNMENT.COMPACT filter
+        compares `i[0] != [8]` (an int against a list -- always true), so
+        the compact line elides only op 0, never op 8.
+        """
+        compact = [op for op in self.cigartuples if op[0] != 0]
+        out = [f"{self.cigarstring}      ALIGNMENT\n"
+               f"{cigartuples_to_str(compact)}      ALIGNMENT.COMPACT\n"]
+        # per-op rendering: (pattern advances, text advances, gap char)
+        render = {0: (True, True, "|"), 7: (True, True, "|"),
+                  8: (True, True, "*"), 2: (True, False, " "),
+                  1: (False, True, " "), 4: (False, True, " "),
+                  5: (False, True, " ")}
+        prow, grow, trow = ["      PATTERN    "], ["                 "], \
+            ["      TEXT       "]
+        pi = ti = 0
+        for opp, ln in self.cigartuples:
+            if opp not in render:
                 raise ValueError(
                     f"Cigar operation not available for pretty print - {opp}")
-        s += p + "\n" + g + "\n" + t + "\n"
-        return s
+            adv_p, adv_t, gap = render[opp]
+            prow.append(self.pattern[pi: pi + ln] if adv_p else "-" * ln)
+            trow.append(self.text[ti: ti + ln] if adv_t else "-" * ln)
+            grow.append(gap * ln)
+            pi += ln if adv_p else 0
+            ti += ln if adv_t else 0
+        out.append("".join(prow) + "\n" + "".join(grow) + "\n"
+                   + "".join(trow) + "\n")
+        return "".join(out)
 
-    def _get_aligned_sequence(self, sequence, tuple_cigar, begin, end,
-                              gap_type):
-        # NOTE: mirrors align.pyx:168-180, including iterating tuples as
-        # (length, mid) -- i.e. comparing the *op code* against the char
-        # gap_type never matches, so ops expand from the sliced sequence.
-        aligned_sequence = []
+    def _gap_expand(self, sequence, begin, end):
+        """Gap-expanded sequence for aligned_pattern/aligned_text.
+
+        Parity quirk (reference: align.pyx:168-180): the reference
+        iterates cigartuples as (length, mid) -- swapped -- and compares
+        the int op code against a gap CHAR, which never matches; every op
+        therefore consumes from the [begin:end) slice and the leftover
+        tail is appended. Net observable effect: the slice expanded by
+        total tuple length, no gap dashes. Reproduced directly.
+        """
         seq = sequence[begin:end]
-        index = 0
-        for length, mid in tuple_cigar:
-            if mid == gap_type:
-                aligned_sequence += ['-' * length]
-            else:
-                aligned_sequence += [seq[index:index + length]]
-                index += length
-        aligned_sequence += [seq[index:end - begin]]
-        return "".join(aligned_sequence)
+        idx = 0
+        parts = []
+        for length, _ in self.cigartuples:
+            parts.append(seq[idx: idx + length])
+            idx += length
+        parts.append(seq[idx:])
+        return "".join(parts)
+
+
+# per-op (pattern, text) consumption used by clip_cigartuples' flank
+# scans; ops absent here (soft/hard clips etc.) consume nothing, like the
+# reference's if/elif chain falling through
+_CLIP_CONSUMES = {0: (1, 1), 8: (1, 1), 2: (1, 0), 1: (0, 1)}
 
 
 def clip_cigartuples(align_result, min_aligned_bases_left=5,
                      min_aligned_bases_right=5):
-    """Soft-clip sub-threshold flank blocks (reference: align.pyx:183-250)."""
+    """Soft-clip sub-threshold flank blocks.
+
+    Scans each flank inward, accumulating consumed pattern/text bases,
+    until an M block meeting the side's threshold is found (that block is
+    kept); the consumed flanks become soft-clips (4, n) and the
+    start/end coordinates are updated. Behavior byte-pinned to the
+    reference incl. its coordinate quirks: a sub-threshold M block on a
+    flank advances BOTH coordinates, the left soft-clip length is the
+    consumed TEXT bases, and if no block meets a threshold the scan
+    stops at the last op (reference: align.pyx:183-250 semantics).
+    """
     ct = align_result.cigartuples
     if not ct:
         return align_result
-    i = 0
-    text_start = 0
-    pattern_start = 0
-    for i in range(len(ct)):
-        if ct[i][0] == 0:
-            if ct[i][1] >= min_aligned_bases_left:
+    res = align_result
+
+    def scan(indices, threshold):
+        """-> (stop index, pattern bases consumed, text bases consumed)"""
+        dp = dt = 0
+        idx = indices[-1] if indices else 0
+        for idx in indices:
+            op, n = ct[idx]
+            if op == 0 and n >= threshold:
                 break
-            else:
-                text_start += ct[i][1]
-                pattern_start += ct[i][1]
-        elif ct[i][0] == 2:  # deletion
-            pattern_start += ct[i][1]
-        elif ct[i][0] == 8:  # mismatch
-            text_start += ct[i][1]
-            pattern_start += ct[i][1]
-        elif ct[i][0] == 1:  # insertion
-            text_start += ct[i][1]
+            p, t = _CLIP_CONSUMES.get(op, (0, 0))
+            dp += p * n
+            dt += t * n
+        return idx, dp, dt
 
-    text_end = align_result.text_length
-    pattern_end = align_result.pattern_length
-    j = len(ct) - 1
-    for j in range(len(ct) - 1, -1, -1):
-        if ct[j][0] == 0:
-            if ct[j][1] >= min_aligned_bases_right:
-                break
-            else:
-                text_end -= ct[j][1]
-                pattern_end -= ct[j][1]
-        elif ct[j][0] == 2:
-            pattern_end -= ct[j][1]
-        elif ct[j][0] == 8:
-            pattern_end -= ct[j][1]
-            text_end -= ct[j][1]
-        elif ct[j][0] == 1:
-            text_end -= ct[j][1]
+    i, p_left, t_left = scan(range(len(ct)), min_aligned_bases_left)
+    j, p_right, t_right = scan(range(len(ct) - 1, -1, -1),
+                               min_aligned_bases_right)
 
-    modified = []
-    if align_result.text_start + text_start > 0:
-        modified.append((4, text_start))
-    modified += ct[i:j + 1]
-    if align_result.text_length - text_end > 0:
-        modified.append((4, align_result.text_length - text_end))
-    align_result.cigartuples = modified
-
-    align_result.text_start = text_start
-    align_result.text_end = text_end
-
-    align_result.pattern_start = pattern_start
-    align_result.pattern_end = pattern_end
-
-    return align_result
+    kept = list(ct[i: j + 1])
+    left_clip = [(4, t_left)] if res.text_start + t_left > 0 else []
+    right_clip = [(4, t_right)] if t_right > 0 else []
+    res.cigartuples = left_clip + kept + right_clip
+    res.pattern_start = p_left
+    res.pattern_end = res.pattern_length - p_right
+    res.text_start = t_left
+    res.text_end = res.text_length - t_right
+    return res
 
 
 def elide_mismatches_from_cigar(cigartuples):
-    """Merge 'X' runs into 'M' blocks (reference: align.pyx:253-277)."""
-    if not cigartuples:
-        return []
-    modified = []
+    """Merge 'X'(8) runs into 'M'(0) blocks (reference: align.pyx:253-277
+    semantics: adjacent M/X ops coalesce, other ops flush the block)."""
+    out: List[Tuple[int, int]] = []
     block = 0
-    for opp, l in cigartuples:
-        if opp != 8 and opp != 0:
-            if block:
-                modified.append((0, block))
-                block = 0
-            modified.append((opp, l))
-        else:
-            block += l
+    for op, n in cigartuples or []:
+        if op in (0, 8):
+            block += n
+            continue
+        if block:
+            out.append((0, block))
+            block = 0
+        out.append((op, n))
     if block:
-        modified.append((0, block))
-    return modified
+        out.append((0, block))
+    return out
 
 
 def cigartuples_to_str(cigartuples):
@@ -304,6 +270,7 @@ class WavefrontAligner:
                  steps_between_cutoffs=1,
                  xdrop=20,
                  wildcard=None,
+                 match_classes=None,
                  max_steps=0,
                  backend="auto",
                  verbose=0,
@@ -328,6 +295,19 @@ class WavefrontAligner:
             self.pattern_len = len(self._bpattern)
 
         self.wildcard = wildcard
+        # generalized lambda mode (reference: wavefront_align.c:150-178):
+        # a registered table name ("iupac") or a {char: bases} dict
+        if match_classes is not None and wildcard is not None:
+            raise ValueError("wildcard and match_classes are exclusive")
+        if isinstance(match_classes, dict):
+            import hashlib
+            from .attributes import register_match_classes
+            items = repr(sorted((k, "".join(sorted(v)))
+                                for k, v in match_classes.items()))
+            name = "user-" + hashlib.md5(items.encode()).hexdigest()[:12]
+            register_match_classes(name, match_classes)
+            match_classes = name
+        self._match_classes = match_classes or ""
 
         if distance not in ("indel", "levenshtein", "linear", "affine", "affine2p"):
             raise NotImplementedError(f'{distance} distance not implemented')
@@ -444,6 +424,7 @@ class WavefrontAligner:
             memory_mode=self._memory_mode,
             system=SystemParams(max_alignment_steps=self._max_steps,
                                 verbose=self._verbose),
+            match_classes=self._match_classes,
         )
 
     # -- alignment ------------------------------------------------------
@@ -473,9 +454,18 @@ class WavefrontAligner:
             # analog of system.check_alignment_correct
             # (reference: wavefront_debug.c:230-241)
             from .utils.check import check_alignment
+            matches = None
+            if self._match_classes:
+                from .attributes import match_class_table
+                tbl = match_class_table(self._match_classes)
+                matches = lambda a, b: bool(tbl[ord(a)] & tbl[ord(b)])
+            elif self._wildcard:
+                w = self._wildcard
+                matches = lambda a, b: a == b or a == w or b == w
             check_alignment(result.ops, self._pattern, text.upper(),
                             self._penalties,
-                            end_v=result.end_v, end_h=result.end_h)
+                            end_v=result.end_v, end_h=result.end_h,
+                            matches=matches)
         if self._verbose >= 1:
             from .utils.profiler import report_alignment
             report_alignment(
@@ -492,10 +482,45 @@ class WavefrontAligner:
         if backend == "auto":
             backend = "jax" if _jax_engine_available() else "numpy"
         if backend == "jax":
+            self._oracle = None
             from .engine_adapter import align_single
             return align_single(self._attributes(), bpattern, btext, wildcard)
         from .oracle import OracleAligner
-        return OracleAligner(self._attributes(), wildcard).align(bpattern, btext)
+        # retained so wavefront_align_resume can continue a MAX_STEPS pause
+        self._oracle = OracleAligner(self._attributes(), wildcard)
+        return self._oracle.align(bpattern, btext)
+
+    def wavefront_align_resume(self):
+        """Continue a MAX_STEPS-paused alignment after `max_steps` was
+        raised; returns the score (reference: wavefront_align.c:245-266
+        wavefront_align_resume, experimental).
+
+        The numpy backend continues from the retained wavefront state;
+        the jax backend rematerializes the alignment at the raised cap
+        (byte-equal result by the engine/oracle contract -- the tensor
+        engine's one-shot programs do not persist ring state across
+        calls, its segmented path does; see batch.align_pairs_resume for
+        the checkpointed batch form).
+        """
+        from .constants import STATUS_MAX_STEPS_REACHED
+        if self._status != STATUS_MAX_STEPS_REACHED:
+            raise ValueError(
+                "wavefront_align_resume requires a MAX_STEPS_REACHED "
+                f"alignment (status is {self._status})")
+        self.timer.start()
+        if getattr(self, "_oracle", None) is not None:
+            result = self._oracle.align_resume(self._max_steps)
+        else:
+            wc = self._bwildcard if self._wildcard else None
+            t = self._text.upper().encode("ascii")
+            from .engine_adapter import align_single
+            result = align_single(self._attributes(), self._bpattern, t, wc)
+        self.timer.stop()
+        self._status = result.status
+        self._cigar_ops = result.ops
+        self._score = result.score
+        self._dropped = result.dropped
+        return self._score
 
     def cigar_print_pretty(self, file_name=None):
         """(reference: align.pyx:445-459 -> cigar.c:778-863)"""

@@ -20,6 +20,68 @@ from .constants import (
 INT_MAX = 2**31 - 1
 
 
+# ---------------------------------------------------------------------------
+# Match-equivalence classes: the tensor-friendly generalization of the
+# reference's lambda match-function mode (reference: wavefront_align.c:
+# 150-178 wavefront_align_lambda + wavefront_sequences.c:228-252
+# wavefront_sequences_cmp). An arbitrary per-character callback cannot run
+# inside a TPU kernel; instead each byte maps to a 32-bit class mask and
+# two characters match iff their masks intersect -- which covers the
+# practical lambda uses (IUPAC ambiguity codes, wildcard families,
+# case-folding). Tables are registered by NAME so the static engine config
+# stays hashable and compile-cache keyed.
+# ---------------------------------------------------------------------------
+
+def _build_class_table(classes) -> "np.ndarray":
+    import numpy as np
+    tbl = np.zeros(256, dtype=np.uint32)
+    bit = {}
+    for ch, members in classes.items():
+        for m in members:
+            if m not in bit:
+                if len(bit) >= 32:
+                    raise ValueError("at most 32 base classes supported")
+                bit[m] = 1 << len(bit)
+            tbl[ord(ch)] |= bit[m]
+    return tbl
+
+
+# IUPAC nucleotide ambiguity codes (T==U)
+_IUPAC = {
+    "A": "A", "C": "C", "G": "G", "T": "T", "U": "T",
+    "R": "AG", "Y": "CT", "S": "GC", "W": "AT", "K": "GT", "M": "AC",
+    "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG", "N": "ACGT",
+}
+
+_MATCH_CLASS_TABLES = {"iupac": _build_class_table(_IUPAC)}
+
+
+def register_match_classes(name: str, classes) -> str:
+    """Register a match-equivalence table under `name` and return it.
+
+    `classes` maps each character to an iterable of base symbols; two
+    characters match iff they share a base symbol (at most 32 distinct
+    base symbols). Alternatively pass a ready [256] uint32 mask array.
+    Bytes absent from the table never match anything (including
+    themselves). Use via WavefrontAligner(match_classes=name) or
+    AlignerAttributes(match_classes=name).
+    """
+    import numpy as np
+    if isinstance(classes, np.ndarray):
+        if classes.shape != (256,):
+            raise ValueError("mask table must have shape (256,)")
+        tbl = classes.astype(np.uint32)
+    else:
+        tbl = _build_class_table(dict(classes))
+    _MATCH_CLASS_TABLES[name] = tbl
+    return name
+
+
+def match_class_table(name: str):
+    """The registered [256] uint32 class-mask table for `name`."""
+    return _MATCH_CLASS_TABLES[name]
+
+
 @dataclasses.dataclass(frozen=True)
 class Penalties:
     """Internal (post-validation, post-Eizenga) penalty set.
@@ -284,6 +346,9 @@ class AlignerAttributes:
     heuristic: HeuristicParams = dataclasses.field(default_factory=HeuristicParams)
     memory_mode: MemoryMode = MemoryMode.HIGH
     system: SystemParams = dataclasses.field(default_factory=SystemParams)
+    # name of a registered match-equivalence table ("" = exact matching);
+    # see register_match_classes -- the generalized lambda mode
+    match_classes: str = ""
 
 
 def validate_alignment(attr: AlignerAttributes, plen: int, tlen: int) -> AlignerAttributes:

@@ -9,9 +9,11 @@ results are always complete and byte-faithful.
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import sys
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -39,6 +41,29 @@ TEXT_SENTINEL = E.TEXT_PAD
 # cap on the per-diagonal LCP table (B * W * Lt int16 + int8 scratch); above
 # this the engine falls back to chunked-gather extension
 LCP_TABLE_BYTES_CAP = 3 * 2**30
+
+# PYWFA_PROF=1 accumulates per-stage wall time of the dispatch/finish
+# pipeline into PROF (print with prof_report()); near-zero cost when off
+_PROF = os.environ.get("PYWFA_PROF", "") not in ("", "0")
+PROF = collections.defaultdict(float)
+PROF_N = collections.defaultdict(int)
+
+
+def _prof_add(key: str, t0: float) -> float:
+    t1 = time.perf_counter()
+    PROF[key] += t1 - t0
+    PROF_N[key] += 1
+    return t1
+
+
+def prof_report(reset: bool = True) -> str:
+    lines = [f"{k:28s} {PROF[k]*1e3:9.2f} ms total "
+             f"({PROF[k]/max(PROF_N[k],1)*1e3:7.3f} ms/call x {PROF_N[k]})"
+             for k in sorted(PROF, key=PROF.get, reverse=True)]
+    if reset:
+        PROF.clear()
+        PROF_N.clear()
+    return "\n".join(lines)
 
 
 def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int,
@@ -69,7 +94,8 @@ def encode_batch(seqs: Sequence[bytes], L: int, chunk: int, sentinel: int,
 def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
                 k_start: int, plen: int, tlen: int,
                 wildcard: Optional[int],
-                cap_h: Optional[int] = None) -> str:
+                cap_h: Optional[int] = None,
+                mtbl: Optional[np.ndarray] = None) -> str:
     """Expand a (sparse, forward-order) walk-op stream into per-base ops.
 
     Match runs are re-derived by greedy forward extension, which is exact for
@@ -113,9 +139,12 @@ def _match_fill(pattern: bytes, text: bytes, ops_fwd: np.ndarray, n_ops: int,
             return
         a = pa[v: v + n]
         b = ta[h: h + n]
-        eq = a == b
-        if wildcard is not None:
-            eq = eq | (a == wildcard) | (b == wildcard)
+        if mtbl is not None:
+            eq = (mtbl[a] & mtbl[b]) != 0
+        else:
+            eq = a == b
+            if wildcard is not None:
+                eq = eq | (a == wildcard) | (b == wildcard)
         run = n if eq.all() else int(np.argmin(eq))
         if run > 0:
             parts.append("M" * run)
@@ -154,7 +183,9 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
     partial walks; see _match_fill's cap_h).
     """
     from . import native
-    if native.lib() is None:
+    if native.lib() is None or cfg.match_classes:
+        # class-mask matching falls back to the Python fill (the native
+        # kernel compares raw bytes + wildcard only)
         return {}
     idx = np.asarray(clean_idx)
     if len(idx) == pat_np.shape[0]:
@@ -262,13 +293,38 @@ def pack_tokens(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
             | (c[..., 2] << 4) | (c[..., 3] << 6))
 
 
+def _mtbl_for(cfg) -> Optional[np.ndarray]:
+    """Class-mask table for host match-fill, or None for exact/wildcard."""
+    if not cfg.match_classes:
+        return None
+    from .attributes import match_class_table
+    return match_class_table(cfg.match_classes)
+
+
+def _encode_side(seqs, L, chunk, sentinel, lens):
+    """Encode one side of a batch: sentinel-padded token matrix plus its
+    2-bit packed rows (None when any in-length byte is not ACGT). Fused
+    native pass when the lib is available (numpy scatter + separate pack
+    cost ~8 ms/side at B=4096; the native pass is <1 ms)."""
+    from . import native
+    if native.lib() is not None:
+        r = native.encode_pack_batch(b"".join(seqs), lens, L + chunk,
+                                     sentinel)
+        if r is not None:
+            return r
+    mat = encode_batch(seqs, L, chunk, sentinel, lens=lens)
+    return mat, pack_tokens(mat, np.asarray(lens))
+
+
 def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
-                plens_np=None, tlens_np=None, scope_full=True):
+                plens_np=None, tlens_np=None, scope_full=True,
+                pp=None, pt=None):
     """Dispatch to the fused Pallas loop kernel when eligible, else XLA.
 
     pat_np/txt_np are HOST token matrices; the push strategy is chosen here:
     one fused array, 2-bit packed when the batch is pure uppercase ACGT
-    (4x fewer bytes over the tunneled host<->TPU link).
+    (4x fewer bytes over the tunneled host<->TPU link). pp/pt: already
+    2-bit-packed rows from _encode_side (computed here when omitted).
 
     Returns the packed single-pull output array: the _pack_full uint8
     vector when scope_full, else the 4xB int32 meta block — produced by
@@ -286,10 +342,12 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         plens_np = np.asarray(plen)
     if tlens_np is None:
         tlens_np = np.asarray(tlen)
-    if not eligible:
+    if pp is None:
         pp = pack_tokens(pat_np, plens_np)
-        pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
-        if pt is not None:
+    if pt is None and pp is not None:
+        pt = pack_tokens(txt_np, tlens_np)
+    if not eligible:
+        if pp is not None and pt is not None:
             fused2 = np.concatenate([pp, pt], axis=1)
             fn = (E.align_batch_packed_full if scope_full
                   else E.align_batch_packed_meta)
@@ -300,8 +358,9 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         return fn(cfg, fused, plen, tlen, frees, max_steps)
     # Pallas pipeline: everything (2-bit decode, eq-bits, the whole-
     # alignment kernel, walk, packing) runs in ONE compiled call. Padding
-    # to a TB multiple happens on host (BEFORE the 2-bit pack, so each
-    # batch is packed exactly once) so the push stays one array.
+    # to a TB multiple pads the already-packed rows directly (a pad pair
+    # is "A" vs "A": its 2-bit row is all zeros) so each batch is packed
+    # exactly once and the push stays one array.
     padB = (-B) % TB
     if padB:
         def padrow(a, fill):
@@ -317,9 +376,10 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
         txt_np[B:, 0] = 65
         plen = jnp.asarray(plens_np)
         tlen = jnp.asarray(tlens_np)
-    pp = pack_tokens(pat_np, plens_np)
-    pt = pack_tokens(txt_np, tlens_np) if pp is not None else None
-    if pt is not None:
+        if pp is not None and pt is not None:
+            pp = padrow(pp, 0)
+            pt = padrow(pt, 0)
+    if pp is not None and pt is not None:
         fused2 = np.concatenate([pp, pt], axis=1)
         fn = (E.align_batch_pallas_packed_full if scope_full
               else E.align_batch_pallas_packed_meta)
@@ -503,7 +563,9 @@ def _print_progress(cfg, B, s_now, state, snaps_bytes):
 
 
 def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
-                       plens, tlens, full_probe, Lp, Lt):
+                       plens, tlens, full_probe, Lp, Lt,
+                       resume_snaps=None, resume_state=None,
+                       resume_cfg=None, capture=None):
     """Bounded-memory execution by segment rematerialization.
 
     The forward score loop runs in segments of K steps WITHOUT recording
@@ -522,28 +584,41 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
     The band is NOT forced to worst case: pairs that outgrow big_cfg.W
     report ST_OVERFLOW_W and escalate through align_pairs' geometric
     ladder with a 4x wider band.
+
+    resume_snaps/resume_state/resume_cfg: continuation of a
+    MAX_STEPS-paused run (see align_pairs_resume) -- the forward loop
+    restarts from the retained ring state instead of score 0, with the
+    paused boundary snapshotted so the traceback covers the continuation
+    levels. capture: when given a dict and pairs end at MAX_STEPS, the
+    retained state is stored under capture["paused"] for later resume.
     """
     import jax.numpy as jnp
 
     B = len(patterns)
     scope_full = attr0.scope == AlignmentScope.COMPUTE_ALIGNMENT
     S_total = full_probe.S_cap
-    # long-read runs afford a bigger LCP table than one-shot dispatch
-    # (their choices block is bounded, freeing HBM); the table's per-step
-    # gather is ~8x faster than chunked compares, so re-decide from the
-    # remat-specific cap (big_cfg may arrive with the table disabled)
-    lcp_ok = (3 * B * big_cfg.W * (big_cfg.Lt + big_cfg.extend_chunk)
-              <= LCP_TABLE_BYTES_CAP_REMAT)
-    cfg = dataclasses.replace(big_cfg, record_choices=False,
-                              use_lcp_table=lcp_ok)
-    # segment size: replay-block byte budget AND per-program wall budget
-    K = max(64, int(REPLAY_CHOICES_BYTES // max(1, B * cfg.W)))
-    import jax as _jax
-    if _jax.default_backend() != "cpu":
-        K = min(K, max(64, int(PROGRAM_WALL_BUDGET_S
-                               / _est_step_seconds(cfg, B))))
-    K = min(K, S_total)
-    cfg = dataclasses.replace(cfg, S_cap=K)
+    if resume_cfg is not None:
+        cfg = dataclasses.replace(resume_cfg, record_choices=False)
+        K = cfg.S_cap
+    else:
+        # long-read runs afford a bigger LCP table than one-shot dispatch
+        # (their choices block is bounded, freeing HBM); the table's
+        # per-step gather is ~8x faster than chunked compares, so
+        # re-decide from the remat-specific cap (big_cfg may arrive with
+        # the table disabled)
+        lcp_ok = (3 * B * big_cfg.W * (big_cfg.Lt + big_cfg.extend_chunk)
+                  <= LCP_TABLE_BYTES_CAP_REMAT)
+        cfg = dataclasses.replace(big_cfg, record_choices=False,
+                                  use_lcp_table=lcp_ok)
+        # segment size: replay-block byte budget AND per-program wall
+        # budget
+        K = max(64, int(REPLAY_CHOICES_BYTES // max(1, B * cfg.W)))
+        import jax as _jax
+        if _jax.default_backend() != "cpu":
+            K = min(K, max(64, int(PROGRAM_WALL_BUDGET_S
+                                   / _est_step_seconds(cfg, B))))
+        K = min(K, S_total)
+        cfg = dataclasses.replace(cfg, S_cap=K)
     cfg_rec = dataclasses.replace(cfg, record_choices=True)
     C = cfg.extend_chunk
     pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL)
@@ -560,9 +635,20 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
     verbose = attr0.system.verbose
     probe = max(attr0.system.probe_interval_global, 1)
     next_probe = probe
-    snaps = []  # host copies of the resume pytree at segment starts 1..n-1
-    out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
-                                     max_steps)
+    # host copies of the resume pytree at segment starts 1..n-1
+    snaps = list(resume_snaps) if resume_snaps else []
+    if resume_state is None:
+        out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
+                                         max_steps)
+    else:
+        # continuation of a MAX_STEPS pause: un-pause the retained ring
+        # and snapshot the boundary so the walk covers the new levels
+        # (reference: wavefront_align.c:245-266)
+        st = E.unpause_max_steps(
+            {k: jnp.asarray(v) for k, v in resume_state.items()})
+        snaps.append({k: np.asarray(v) for k, v in st.items()})
+        out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
+                                          max_steps, st)
     max_segments = (S_total + K - 2) // (K - 1) + 1
     snaps_bytes = 0
     for _ in range(max_segments):
@@ -585,6 +671,18 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
     meta = np.asarray(jnp.stack([out["status"], out["final_s"],
                                  out["end_k"], out["end_off"]]))
     status, final_s, end_k, end_off = meta
+    mtbl = _mtbl_for(cfg)
+    if capture is not None and (status == E.ST_MAX_STEPS).any():
+        pb = PausedBatch()
+        pb.attr, pb.attr0, pb.wildcard = attr, attr0, wildcard
+        pb.patterns, pb.texts = patterns, texts
+        pb.plens, pb.tlens = plens, tlens
+        pb.full_probe, pb.Lp, pb.Lt = full_probe, Lp, Lt
+        pb.cfg = cfg
+        pb.snaps = snaps
+        pb.state = {k: np.asarray(v) for k, v in state.items()}
+        pb.B0 = B  # dispatch overwrites with the pre-padding size
+        capture["paused"] = pb
     pen = attr0.penalties
     results = [None] * B
     oracle_idx = []
@@ -599,10 +697,13 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         # walk highest segment first, rematerializing each block on device
         carry = E.walk_carry_init(final_s, end_k, jnp.asarray(walkable))
         blocks = [None] * n_segments
+        # actual segment base scores (uniform K-1 apart in a plain run;
+        # a resume boundary makes them irregular)
+        bases = [0] + [int(sn["s"]) for sn in snaps]
         for i in range(n_segments - 1, -1, -1):
             s_now = np.asarray(carry[0])
             act = np.asarray(carry[3])
-            if not (act & (s_now >= i * (K - 1))).any():
+            if not (act & (s_now >= bases[i])).any():
                 # no active pair has ops at this segment's levels
                 blocks[i] = np.zeros((B, K), dtype=np.uint8)
                 continue
@@ -645,7 +746,8 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
             else:
                 ops = _match_fill(patterns[b], texts[b], ops_all[b],
                                   int(n_ops[b]), int(k_start[b]),
-                                  int(plens[b]), int(tlens[b]), wildcard)
+                                  int(plens[b]), int(tlens[b]), wildcard,
+                                  mtbl=mtbl)
                 if eh < int(tlens[b]):
                     ops = ops + "I" * (int(tlens[b]) - eh)
                 if ev < int(plens[b]):
@@ -677,7 +779,7 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
                     ops = _match_fill(patterns[b], texts[b], ops_all[b],
                                       int(n_ops[b]), int(k_start[b]),
                                       int(plens[b]), int(tlens[b]), wildcard,
-                                      cap_h=eh)
+                                      cap_h=eh, mtbl=mtbl)
                     if eh < int(tlens[b]):
                         ops = ops + "I" * (int(tlens[b]) - eh)
                     if ev < int(plens[b]):
@@ -703,6 +805,64 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         for b in oracle_idx:
             results[b] = _oracle_one(attr, patterns[b], texts[b], wildcard)
     return results
+
+
+class PausedBatch:
+    """Retained checkpoint of a MAX_STEPS-paused segmented batch run.
+
+    Produced by align_pairs_resumable when pairs hit the step cap; feed to
+    align_pairs_resume with a raised cap to continue them from their
+    retained wavefront rings (host-resident pytree snapshots) instead of
+    realigning from scratch -- the batch analog of the reference's
+    experimental resume (reference: wavefront_align.c:245-266).
+    """
+
+    __slots__ = ("attr", "attr0", "patterns", "texts", "wildcard", "cfg",
+                 "plens", "tlens", "full_probe", "Lp", "Lt", "snaps",
+                 "state", "B0")
+
+
+def align_pairs_resumable(attr: AlignerAttributes, patterns, texts,
+                          wildcard: Optional[int] = None, **kw):
+    """align_pairs through the checkpointed segmented executor.
+
+    Returns (results, paused): `paused` is None when every pair resolved,
+    else a PausedBatch retaining the engine state of the pairs that hit
+    `attr.system.max_alignment_steps` (their results carry status
+    STATUS_MAX_STEPS_REACHED, score -max_steps). Continue with
+    align_pairs_resume(paused, new_max_steps).
+    """
+    cap: dict = {}
+    res = align_pairs_finish(align_pairs_dispatch(
+        attr, patterns, texts, wildcard, _force_segmented=True,
+        _capture=cap, **kw))
+    return res, cap.get("paused")
+
+
+def align_pairs_resume(paused: PausedBatch, max_steps: int):
+    """Continue a MAX_STEPS-paused batch with a raised step cap.
+
+    Completed/escalated pairs are re-assembled; paused pairs continue
+    from the retained ring state (no recomputation of the forward loop
+    below the pause score). Returns (results, paused2) like
+    align_pairs_resumable; byte-equal to a fresh run at the raised cap
+    (reference: wavefront_align.c:245-266 semantics).
+    """
+    raise_sys = lambda a: dataclasses.replace(
+        a, system=dataclasses.replace(a.system,
+                                      max_alignment_steps=max_steps))
+    attr = raise_sys(paused.attr)
+    attr0 = raise_sys(paused.attr0)
+    cap: dict = {}
+    res = _align_pairs_remat(
+        attr, attr0, paused.patterns, paused.texts, paused.wildcard,
+        paused.cfg, paused.plens, paused.tlens, paused.full_probe,
+        paused.Lp, paused.Lt, resume_snaps=paused.snaps,
+        resume_state=paused.state, resume_cfg=paused.cfg, capture=cap)
+    paused2 = cap.get("paused")
+    if paused2 is not None:
+        paused2.B0 = paused.B0
+    return res[:paused.B0], paused2
 
 
 class BatchWavefrontAligner:
@@ -772,11 +932,54 @@ CHOICES_BYTES_CAP = 4 * 2**30
 def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
     """Band width sufficient for any alignment of score <= S.
 
-    A diagonal shift costs at least one score unit, so |k| <= S plus the
-    target-diagonal offset; padded like full_config.
+    The wavefront band grows at most one diagonal per side per
+    gap-extension chain step, so after S score units it spans at most
+    +-ceil(S/e_min) around k=0 (e_min = cheapest per-base gap cost of the
+    metric), plus the target-diagonal offset; padded like full_config.
+    Ends-free WF0 seeds additionally occupy [-pattern_begin_free,
+    text_begin_free] at score 0 (reference: wavefront_aligner.c:277-302),
+    which sets a floor independent of S. Undersized bands are safe: band
+    or seed overflow reports ST_OVERFLOW_W and the pair escalates.
     """
-    pad = attr.penalties.max_score_scope + 4
-    return 2 * (S + abs(maxLp - maxLt)) + 2 * pad + 8
+    from .constants import DistanceMetric
+    pen = attr.penalties
+    pad = pen.max_score_scope + 4
+    m = pen.distance_metric
+    if m == DistanceMetric.GAP_AFFINE:
+        den = max(1, pen.gap_extension1)
+    elif m == DistanceMetric.GAP_AFFINE_2P:
+        den = max(1, min(pen.gap_extension1, pen.gap_extension2))
+    elif m == DistanceMetric.GAP_LINEAR:
+        den = max(1, pen.gap_opening1)
+    else:
+        den = 1
+    reach = min(S, S // den + 1)
+    band = 2 * (reach + abs(maxLp - maxLt)) + 2 * pad + 8
+    f = attr.form
+    if f.span == AlignmentSpan.ENDS_FREE and not f.extension:
+        seed = (min(f.pattern_begin_free, maxLp)
+                + min(f.text_begin_free, maxLt))
+        band = max(band, 2 * seed + 2 * pad + 8)
+    return band
+
+
+def _bucket_len(n: int) -> int:
+    """Round a padded sequence length up to a ~6%-granular bucket so
+    compile-cache keys stay stable across batches with jittery max
+    lengths (each distinct shape costs a multi-second remote compile)."""
+    if n <= 64:
+        return 64
+    q = 1 << max(4, n.bit_length() - 4)
+    return -(-n // q) * q
+
+
+def _bucket_B(n: int) -> int:
+    """Round a batch size up to the next power of two (>= 16): escalation
+    re-runs and user streams produce jittery batch sizes, and every
+    distinct B is a fresh compile. Pad pairs are trivial ("A" vs "A")."""
+    if n <= 16:
+        return 16
+    return 1 << (n - 1).bit_length()
 
 
 class _Inflight:
@@ -790,10 +993,13 @@ class _Inflight:
     __slots__ = ("results", "attr", "attr0", "cfg", "full_probe", "patterns",
                  "texts", "wildcard", "plens", "tlens", "pat_np", "txt_np",
                  "max_steps_i", "scope_full", "at_full_caps", "Lp", "Lt",
-                 "maxLp", "maxLt", "B", "meta_d", "packed_d")
+                 "maxLp", "maxLt", "B", "B0", "meta_d", "packed_d",
+                 "meta_np", "packed_np")
 
     def __init__(self, results=None):
         self.results = results
+        self.meta_np = None
+        self.packed_np = None
 
 
 def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
@@ -821,13 +1027,16 @@ def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
     of batch N overlaps device compute + transfers of batches N+1..N+depth
     (the tunneled-TPU RPC latency hides entirely).
 
-    `workers` > 0 additionally runs the finish stage (device pull + native
-    match-fill + result assembly) on a thread pool, overlapping it with
-    the dispatch stage's encode/pack work -- most of both stages is
-    numpy/native/jax code that releases the GIL (~+40% at 4096x150bp;
-    2 workers is the sweet spot, more just contend). Results still come
-    back in input order. `workers=0` runs everything on the caller's
-    thread.
+    `workers` > 0 additionally runs the CPU finish stage (native
+    match-fill + result assembly + escalation re-runs) on a thread pool,
+    overlapping it with the dispatch stage's encode/pack work -- most of
+    both stages is numpy/native/jax code that releases the GIL. The
+    device pull itself stays on the CALLING thread, in dispatch order,
+    `depth` batches behind the dispatch front: by then the async copy
+    started at dispatch has completed and the pull is ~free, where a
+    worker pulling early pays the tunnel's ~23 ms synchronous-RPC path.
+    Results still come back in input order. `workers=0` runs everything
+    on the caller's thread.
 
     Each input item is (patterns, texts) or (patterns, texts, kwargs) --
     the per-batch kwargs (e.g. bucketed Lp/Lt) override the stream-level
@@ -848,16 +1057,25 @@ def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
         return
     from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=workers)
+    futs = collections.deque()
     try:
         for item in batches:
             patterns, texts = item[0], item[1]
             bkw = dict(kw, **item[2]) if len(item) > 2 else kw
-            h = align_pairs_dispatch(attr, patterns, texts, wildcard, **bkw)
-            pending.append(ex.submit(align_pairs_finish, h))
+            pending.append(align_pairs_dispatch(attr, patterns, texts,
+                                                wildcard, **bkw))
             if len(pending) > depth:
-                yield pending.popleft().result()
+                futs.append(ex.submit(align_pairs_finish,
+                                      align_pairs_pull(pending.popleft())))
+            # yield whatever is done; bound the finish backlog so slow
+            # assembly applies backpressure instead of queueing unboundedly
+            while futs and (futs[0].done() or len(futs) > workers + 2):
+                yield futs.popleft().result()
         while pending:
-            yield pending.popleft().result()
+            futs.append(ex.submit(align_pairs_finish,
+                                  align_pairs_pull(pending.popleft())))
+        while futs:
+            yield futs.popleft().result()
     finally:
         ex.shutdown(wait=True)
 
@@ -867,14 +1085,24 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
                          wildcard: Optional[int] = None,
                          W: Optional[int] = None, S_cap: Optional[int] = None,
                          Lp: Optional[int] = None, Lt: Optional[int] = None,
-                         _escalated: bool = False) -> _Inflight:
+                         _escalated: bool = False,
+                         _force_segmented: bool = False,
+                         _capture: Optional[dict] = None) -> _Inflight:
     """Phase 1 of align_pairs: encode, push, enqueue the device score loop +
     traceback walk + single packed output transfer. Returns without blocking
     on the device (JAX async dispatch)."""
-    B = len(patterns)
-    assert B == len(texts)
-    if B == 0:
+    B0 = len(patterns)
+    assert B0 == len(texts)
+    if B0 == 0:
         return _Inflight(results=[])
+    t0 = time.perf_counter() if _PROF else 0.0
+    # batch-size bucketing: pad to a power of two with trivial pairs so
+    # jittery batch sizes (escalation re-runs, user stream tails) hit the
+    # compile cache instead of compiling a fresh program per distinct B
+    B = _bucket_B(B0)
+    if B != B0:
+        patterns = list(patterns) + [b"A"] * (B - B0)
+        texts = list(texts) + [b"A"] * (B - B0)
     plens = np.array([len(p) for p in patterns], dtype=np.int32)
     tlens = np.array([len(t) for t in texts], dtype=np.int32)
     maxLp = int(plens.max()) if B else 0
@@ -899,18 +1127,33 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
         MemoryMode.HIGH: 1, MemoryMode.MED: 4,
         MemoryMode.LOW: 16, MemoryMode.ULTRALOW: 64,
     }[attr0.memory_mode]
-    full_probe = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
-                               record_choices=scope_full)
-    if (W is None and S_cap is None and full_probe.S_cap > 192
+    # padded-length bucketing: stable compile-cache keys across batches
+    # with jittery max lengths (an explicit Lp/Lt arg still wins if larger)
+    Lp = max(Lp or 0, _bucket_len(maxLp))
+    Lt = max(Lt or 0, _bucket_len(maxLt))
+    full_probe = E.full_config(attr0, Lp, Lt, record_choices=scope_full)
+    # optimistic first rung, scaled to the read length (typical scores run
+    # ~L*divergence*cost, far below the worst case); escalation handles
+    # the tail. The band is sized for the rung's score via the
+    # gap-extension growth rate, NOT the worst case -- at the 150bp
+    # headline this is W=128 vs the 512 a worst-case band would cost, a
+    # ~4x cut in per-step device work.
+    S0 = max(96, E._round_up(min(maxLp, maxLt) // 6 + 1, 32))
+    if (W is None and S_cap is None and full_probe.S_cap > S0
             and not _escalated):
-        # optimistic start; escalation handles the tail
-        S_cap = min(192, full_probe.S_cap)
+        S_cap = min(S0, full_probe.S_cap)
         W = min(full_probe.W,
-                E._round_up(_band_for_score(attr0, S_cap, maxLp, maxLt), 128))
-    cfg = E.full_config(attr0, max(maxLp, Lp or 0), max(maxLt, Lt or 0),
+                E._round_up(_band_for_score(attr0, S_cap, Lp, Lt), 128))
+    cfg = E.full_config(attr0, Lp, Lt,
                         wildcard=(wildcard if wildcard is not None else -1),
                         W=W, S_cap=S_cap, record_choices=scope_full)
     at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
+    if scope_full and not at_full_caps:
+        # compacted 4-bit walk-op pull (see EngineConfig.ops_out); pairs
+        # with more ops than this re-run at the next rung
+        oc = min(cfg.S_cap, max(64, E._round_up(cfg.S_cap // 3, 2)))
+        if oc < cfg.S_cap:
+            cfg = dataclasses.replace(cfg, ops_out=oc)
     # lcp-table feasibility must precede the wall-budget estimate (the
     # extension mode depends on it)
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
@@ -920,24 +1163,42 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     too_long = (_jax.default_backend() != "cpu"
                 and cfg.S_cap * _est_step_seconds(cfg, B)
                 > PROGRAM_WALL_BUDGET_S)
-    if (scope_full and cfg.S_cap * B * cfg.W > choices_cap) or too_long:
+    if ((scope_full and cfg.S_cap * B * cfg.W > choices_cap) or too_long
+            or _force_segmented):
         # device can't hold the whole traceback record, or one monolithic
         # program would outlive the TPU worker's execution watchdog: run
         # segmented with rematerialized traceback. Segments lift the
         # score cap entirely; the band stays at this rung's width (pairs
         # that outgrow it escalate geometrically inside
         # _align_pairs_remat).
-        return _Inflight(results=_align_pairs_remat(
-            attr, attr0, patterns, texts, wildcard, cfg, plens, tlens,
-            full_probe, Lp, Lt))
+        res = _align_pairs_remat(attr, attr0, patterns, texts, wildcard,
+                                 cfg, plens, tlens, full_probe, Lp, Lt,
+                                 capture=_capture)
+        if _capture is not None and "paused" in _capture:
+            _capture["paused"].B0 = B0
+        return _Inflight(results=res[:B0])
     C = cfg.extend_chunk
+    if _PROF:
+        t0 = _prof_add("d.config", t0)
 
-    pat_np = encode_batch(patterns, cfg.Lp, C, PATTERN_SENTINEL, lens=plens)
-    txt_np = encode_batch(texts, cfg.Lt, C, TEXT_SENTINEL, lens=tlens)
-    plen = jnp.asarray(plens)
-    tlen = jnp.asarray(tlens)
+    pat_np, pp = _encode_side(patterns, cfg.Lp, C, PATTERN_SENTINEL, plens)
+    txt_np, pt = _encode_side(texts, cfg.Lt, C, TEXT_SENTINEL, tlens)
+    if _PROF:
+        t0 = _prof_add("d.encode", t0)
+    # uniform-length / all-zero side arrays are generated ON DEVICE
+    # (jnp.full/zeros compile to fills): the tunneled host->device link
+    # runs ~43 MB/s, so skipping ~100 KB of trivial pushes per batch is
+    # measurable wall time
+    def _push_lens(a):
+        v = int(a[0])
+        if (a == v).all():
+            return jnp.full((B,), v, dtype=jnp.int32)
+        return jnp.asarray(a)
+    plen = _push_lens(plens)
+    tlen = _push_lens(tlens)
     frees_np = _build_frees(attr0, B, plens, tlens)
-    frees = jnp.asarray(frees_np)
+    frees = (jnp.zeros((B, 4), dtype=jnp.int32) if not frees_np.any()
+             else jnp.asarray(frees_np))
     max_steps_i = min(attr0.system.max_alignment_steps, 2**31 - 1)
     max_steps = jnp.int32(max_steps_i)
 
@@ -947,7 +1208,9 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     # dispatch or pull pays a full RPC round trip.
     out_d = _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps,
                         frees_np, plens_np=plens, tlens_np=tlens,
-                        scope_full=scope_full)
+                        scope_full=scope_full, pp=pp, pt=pt)
+    if _PROF:
+        t0 = _prof_add("d.push_enqueue", t0)
     h = _Inflight()
     if scope_full:
         h.packed_d = out_d
@@ -964,7 +1227,25 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     h.plens, h.tlens, h.pat_np, h.txt_np = plens, tlens, pat_np, txt_np
     h.max_steps_i = max_steps_i
     h.scope_full, h.at_full_caps = scope_full, at_full_caps
-    h.Lp, h.Lt, h.maxLp, h.maxLt, h.B = Lp, Lt, maxLp, maxLt, B
+    h.Lp, h.Lt, h.maxLp, h.maxLt, h.B, h.B0 = Lp, Lt, maxLp, maxLt, B, B0
+    return h
+
+
+def align_pairs_pull(h: _Inflight) -> _Inflight:
+    """Materialize the device output of a dispatched batch on the CALLING
+    thread. In a deep-enough pipeline the async device->host copy started
+    at dispatch has already completed and this costs ~nothing; pulling
+    here (on the pipeline thread, in dispatch order) instead of inside a
+    finish worker avoids paying the tunnel's ~23 ms synchronous-RPC path
+    for a result that is not ready yet. Idempotent; finish() pulls itself
+    if this was never called."""
+    if h.results is None:
+        if h.packed_d is not None:
+            h.packed_np = np.asarray(h.packed_d)
+            h.packed_d = None
+        elif h.meta_d is not None:
+            h.meta_np = np.asarray(h.meta_d)
+            h.meta_d = None
     return h
 
 
@@ -981,20 +1262,38 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
     max_steps = h.max_steps_i
     results: List[Optional[BatchResult]] = [None] * B
     pen = attr0.penalties
+    t0 = time.perf_counter() if _PROF else 0.0
 
     if scope_full:
-        packed = np.asarray(h.packed_d)
-        meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
-        ops_fwd = packed[7 * B * 4:].reshape(B, cfg.S_cap)
-        status, final_s, end_k, end_off, n_ops, k_start = meta[:6]
-        fb = meta[6] != 0
+        packed = (h.packed_np if h.packed_np is not None
+                  else np.asarray(h.packed_d))
+        if E.packed_layout(cfg) == "compact":
+            # 14-byte meta + 4-bit op stream (see engine.packed_layout)
+            status = packed[:B].astype(np.int32)
+            fb = packed[B: 2 * B] != 0
+            m16 = packed[2 * B: 10 * B].view(np.int16).reshape(4, B)
+            final_s, end_k, n_ops, k_start = (
+                m16.astype(np.int32))  # widen once
+            end_off = packed[10 * B: 14 * B].view(np.int32)
+            ops4 = packed[14 * B:].reshape(B, cfg.ops_out // 2)
+            ops_fwd = np.empty((B, cfg.ops_out), dtype=np.uint8)
+            ops_fwd[:, 0::2] = ops4 & 0xF
+            ops_fwd[:, 1::2] = ops4 >> 4
+        else:
+            meta = packed[: 7 * B * 4].view(np.int32).reshape(7, B)
+            ops_fwd = packed[7 * B * 4:].reshape(B, cfg.S_cap)
+            status, final_s, end_k, end_off, n_ops, k_start = meta[:6]
+            fb = meta[6] != 0
     else:
-        meta = np.asarray(h.meta_d)
+        meta = h.meta_np if h.meta_np is not None else np.asarray(h.meta_d)
         status, final_s, end_k, end_off = meta
         fb = np.zeros(B, dtype=bool)
+    if _PROF:
+        t0 = _prof_add("f.pull", t0)
 
     oracle_idx: List[int] = []
     escalate_idx: List[int] = []
+    mtbl = _mtbl_for(cfg)
 
     # clean full-CIGAR pairs: batched native match-fill when available
     clean_np = (status == E.ST_END_REACHED) & ~fb
@@ -1015,6 +1314,8 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
             native_ops.update(_native_fill(
                 cfg, part_idx, pat_np, txt_np, plens, tlens, end_k, end_off,
                 ops_fwd, n_ops, k_start, wildcard, capped=True))
+    if _PROF:
+        t0 = _prof_add("f.native_fill", t0)
 
     # vectorized score translation + python-int views (np scalar indexing in
     # a 4096-iteration loop costs several ms)
@@ -1049,7 +1350,8 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
             else:
                 ops = _match_fill(patterns[b], texts[b], ops_fwd[b],
                                   int(n_ops[b]), int(k_start[b]),
-                                  plens_l[b], tlens_l[b], wildcard)
+                                  plens_l[b], tlens_l[b], wildcard,
+                                  mtbl=mtbl)
                 # ends-free: trailing free ops, I-block then D-block
                 # (reference: backtrace.c:347-356 writes D's rightmost)
                 if eh < tlens_l[b]:
@@ -1092,7 +1394,7 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
                     ops = _match_fill(patterns[b], texts[b], ops_fwd[b],
                                       int(n_ops[b]), int(k_start[b]),
                                       plens_l[b], tlens_l[b], wildcard,
-                                      cap_h=eh)
+                                      cap_h=eh, mtbl=mtbl)
                     if eh < tlens_l[b]:
                         ops = ops + "I" * (tlens_l[b] - eh)
                     if ev < plens_l[b]:
@@ -1102,6 +1404,8 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
         else:
             # inconsistent walk (rare) -> exact oracle
             oracle_idx.append(b)
+    if _PROF:
+        t0 = _prof_add("f.assemble", t0)
 
     if escalate_idx:
         # geometric escalation: 4x the score cap, band sized to match
@@ -1122,9 +1426,13 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
                           _escalated=True)
         for b, r in zip(escalate_idx, sub):
             results[b] = r
+        if _PROF:
+            t0 = _prof_add("f.escalate", t0)
 
     if oracle_idx:
         for b in oracle_idx:
             results[b] = _oracle_one(attr, patterns[b], texts[b], wildcard)
+        if _PROF:
+            t0 = _prof_add("f.oracle", t0)
 
-    return results  # type: ignore[return-value]
+    return results[:h.B0]  # type: ignore[return-value]

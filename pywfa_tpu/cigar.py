@@ -271,6 +271,66 @@ def cigar_sprint_sam(ops: str, show_mismatches: bool) -> str:
     return "".join(f"{n}{c}" for c, n in ops_to_rle(mapped))
 
 
+def cigar_discover_mismatches(pattern: str, text: str, cigar: Cigar) -> None:
+    """Re-derive 'M'/'X' in an M-run CIGAR by comparing the sequences.
+
+    Normalizes external CIGARs (e.g. from a SAM record or another
+    aligner) into this library's explicit-mismatch form: each 'M' op is
+    compared against the sequences and kept as 'M' or rewritten to 'X';
+    the walk stops when either sequence is exhausted and any remaining
+    unaligned tail is appended as 'D' (pattern left) then 'I' (text
+    left), ops past the stop point dropped -- byte-faithful to the
+    reference (reference: alignment/cigar.c:375-407
+    cigar_discover_mismatches, including its break-then-pad tail
+    handling). Unknown ops raise (the reference exit(1)s).
+    """
+    out: List[str] = []
+    p = 0
+    t = 0
+    for c in cigar.ops:
+        if p >= len(pattern) or t >= len(text):
+            break
+        if c == "M":
+            out.append("M" if pattern[p] == text[t] else "X")
+            p += 1
+            t += 1
+        elif c == "I":
+            out.append("I")
+            t += 1
+        elif c == "D":
+            out.append("D")
+            p += 1
+        else:
+            raise ValueError(f"[CIGAR] Wrong edit operation: {c!r}")
+    out.append("D" * (len(pattern) - p))
+    out.append("I" * (len(text) - t))
+    cigar.ops = "".join(out)
+
+
+# SAM numeric opcodes (reference: alignment/cigar.c:38-55 sam_cigar_lut)
+_SAM_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+           "=": 7, "X": 8}
+
+
+def cigar_get_sam_u32(ops: str, show_mismatches: bool = False):
+    """Numeric SAM CIGAR: uint32 array of (length << 4) | opcode.
+
+    With show_mismatches=False, 'X' folds into 'M' (code 0); with True,
+    'M' runs emit '=' (code 7) and 'X' stays 8 -- byte-faithful to the
+    reference's buffer encoding (reference: alignment/cigar.c:181-243
+    cigar_compute_CIGAR / cigar_get_CIGAR).
+    """
+    import numpy as np
+    if not ops:
+        return np.zeros(0, dtype=np.uint32)
+    mapped = ops if show_mismatches else ops.replace("X", "M")
+    out = []
+    for c, n in ops_to_rle(mapped):
+        code = _SAM_OP["="] if (show_mismatches and c == "M") else _SAM_OP[c]
+        out.append((n << 4) | code)
+    return np.asarray(out, dtype=np.uint32)
+
+
 def cigar_print_pretty_c(
     cigar: Cigar, pattern: str, text: str, file=None
 ) -> None:

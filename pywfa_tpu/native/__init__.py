@@ -56,8 +56,13 @@ def lib() -> Optional[ctypes.CDLL]:
         return None  # stale .so predating the ABI version sentinel
     L.wfa_abi_version.restype = ctypes.c_int64
     L.wfa_abi_version.argtypes = []
-    if L.wfa_abi_version() != 2:
+    if L.wfa_abi_version() != 3:
         return None  # stale .so with a different exported-signature set
+    L.wfa_encode_pack_batch.argtypes = [
+        c_u8p, c_i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8,
+        c_u8p, c_u8p, ctypes.c_int64,
+    ]
+    L.wfa_encode_pack_batch.restype = ctypes.c_int64
     L.wfa_match_fill_batch.argtypes = [
         c_u8p, ctypes.c_int64, c_i64p, c_i64p,
         c_u8p, ctypes.c_int64, c_i64p,
@@ -132,6 +137,29 @@ def rle(ops: np.ndarray):
     if m < 0:
         return None
     return out_ops[:m], out_lens[:m]
+
+
+def encode_pack_batch(flat: bytes, lens: np.ndarray, stride: int,
+                      sentinel: int, pack: bool = True):
+    """Fused encode + 2-bit pack of concatenated sequences.
+
+    Returns (tokens [B, stride] int8, packed [B, ceil(stride/4)] uint8 or
+    None when pack failed/disabled), or None when the lib is unavailable.
+    """
+    L = lib()
+    if L is None:
+        return None
+    B = len(lens)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    tokens = np.empty((B, stride), dtype=np.uint8)
+    Wout = -(-stride // 4) if pack else 0
+    packed = np.empty((B, max(Wout, 1)), dtype=np.uint8)
+    flat_a = np.frombuffer(flat, dtype=np.uint8)
+    rc = L.wfa_encode_pack_batch(
+        _ptr(flat_a, ctypes.c_uint8), _ptr(lens64, ctypes.c_int64),
+        B, stride, sentinel,
+        _ptr(tokens, ctypes.c_uint8), _ptr(packed, ctypes.c_uint8), Wout)
+    return tokens.view(np.int8), (packed if (pack and rc == 0) else None)
 
 
 def pack2_batch(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:

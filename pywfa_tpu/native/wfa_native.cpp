@@ -43,7 +43,63 @@ extern "C" {
 // Bumped on every exported-signature change; the loader refuses a .so
 // whose version doesn't match (a stale binary with make unavailable
 // would otherwise be called with a shifted argument list).
-int64_t wfa_abi_version() { return 2; }
+int64_t wfa_abi_version() { return 3; }
+
+// Scatter concatenated sequence bytes into a sentinel-padded token matrix
+// and (optionally) 2-bit pack the same rows in one pass -- the host
+// encode work of one dispatch (batch.encode_batch + wfa_pack2_batch
+// fused; numpy fancy-index scatter costs ~8 ms at B=4096, this is <1 ms).
+//
+//   flat:       concatenated sequence bytes (sum(lens))
+//   lens:       [B] per-sequence lengths
+//   out_tokens: [B, stride], filled with `sentinel` past each length
+//   out_packed: [B, Wout] 2-bit codes (LSB-first), or Wout == 0 to skip
+//
+// Returns 0 when packing succeeded, 1 when any in-length byte was not
+// uppercase ACGT (tokens are still valid; packed content is undefined).
+int64_t wfa_encode_pack_batch(
+    const uint8_t* flat, const int64_t* lens, int64_t B, int64_t stride,
+    uint8_t sentinel, uint8_t* out_tokens,
+    uint8_t* out_packed, int64_t Wout) {
+    uint8_t code[256];
+    memset(code, 255, sizeof(code));
+    code['A'] = 0;
+    code['C'] = 1;
+    code['G'] = 2;
+    code['T'] = 3;
+    int64_t rc = 0;
+    int64_t off = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        const int64_t n = lens[b] < stride ? lens[b] : stride;
+        const uint8_t* src = flat + off;
+        uint8_t* row = out_tokens + b * stride;
+        memcpy(row, src, n);
+        memset(row + n, sentinel, stride - n);
+        if (Wout > 0 && rc == 0) {
+            uint8_t* orow = out_packed + b * Wout;
+            uint8_t acc = 0;
+            int64_t j = 0;
+            for (; j < n; ++j) {
+                const uint8_t c = code[src[j]];
+                if (c == 255) {
+                    rc = 1;
+                    break;
+                }
+                acc |= static_cast<uint8_t>(c << ((j & 3) * 2));
+                if ((j & 3) == 3) {
+                    orow[j >> 2] = acc;
+                    acc = 0;
+                }
+            }
+            if (rc == 0) {
+                if (j & 3) orow[j >> 2] = acc;
+                for (int64_t k = (j + 3) >> 2; k < Wout; ++k) orow[k] = 0;
+            }
+        }
+        off += lens[b];
+    }
+    return rc;
+}
 
 // Expand one pair's reversed walk-op stream into per-base numeric ops.
 //

@@ -110,6 +110,10 @@ class EngineConfig:
     record_choices: bool = True
     extend_chunk: int = 16
     wildcard: int = -1    # >= 0: wildcard byte code
+    # name of a registered match-equivalence class table ("" = exact);
+    # chars match iff their class masks intersect (the tensor form of the
+    # reference's lambda cmp, wavefront_sequences.c:228-252)
+    match_classes: str = ""
     # Precompute per-diagonal LCP run lengths (memory O(B*W*Lt), turns the
     # extension into one tiny gather per step -- the TPU answer to the
     # reference's per-diagonal scalar LCP loop). Disable for long reads
@@ -118,6 +122,14 @@ class EngineConfig:
     # extension formulation override ("" = auto; see _extend_mode). Part
     # of the config so each mode compiles/caches separately.
     extend_force: str = ""
+    # Compacted walk-op output width (even; 0 = off). When 0 < ops_out <
+    # S_cap, _pack_full compacts each pair's zero-sparse [S_cap] op stream
+    # to its first ops_out tokens and 4-bit packs them (tokens are 3 bits),
+    # shrinking the device->host pull ~6x -- the pull rides a ~43 MB/s
+    # tunneled link, so payload bytes are end-to-end wall time. Pairs with
+    # more than ops_out ops report ST_OVERFLOW_S and re-run at the next
+    # escalation rung (n_ops <= final_s <= S_cap bounds the rung above).
+    ops_out: int = 0
 
     @property
     def n_comp(self) -> int:
@@ -188,6 +200,7 @@ def full_config(attr, plen: int, tlen: int, wildcard: int = -1,
         Lt=Lt if Lt is not None else tlen,
         record_choices=record_choices,
         wildcard=wildcard,
+        match_classes=getattr(attr, "match_classes", ""),
         extend_force=os.environ.get("PYWFA_EXTEND", "").strip().lower(),
     )
 
@@ -297,6 +310,10 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
     W = cfg.W
     karr = jnp.arange(W, dtype=jnp.int32) + cfg.kmin
     cr = jnp.arange(C, dtype=jnp.int32)
+    if cfg.match_classes:
+        # class-mask matching: chars match iff masks intersect; sentinels
+        # and unmapped bytes map to 0 (never match)
+        pat, txt = _map_classes(cfg, pat, txt)
 
     def cond(carry):
         off, active = carry
@@ -313,11 +330,15 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
         tidx = hi_[:, :, None] + cr[None, None, :]
         pch = jnp.take_along_axis(pat[:, None, :], pidx, axis=2)
         tch = jnp.take_along_axis(txt[:, None, :], tidx, axis=2)
-        eq = pch == tch
-        if cfg.wildcard >= 0:
-            wc = jnp.int8(cfg.wildcard)
-            eq = (eq | (pch == wc) | (tch == wc)) \
-                & (pch != jnp.int8(PATTERN_PAD)) & (tch != jnp.int8(TEXT_PAD))
+        if cfg.match_classes:
+            eq = (pch & tch) != 0
+        else:
+            eq = pch == tch
+            if cfg.wildcard >= 0:
+                wc = jnp.int8(cfg.wildcard)
+                eq = (eq | (pch == wc) | (tch == wc)) \
+                    & (pch != jnp.int8(PATTERN_PAD)) \
+                    & (tch != jnp.int8(TEXT_PAD))
         run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)
         ok = active & (v >= 0) & (h >= 0) & (v < plen[:, None]) & (h < tlen[:, None])
         run = jnp.where(ok, run, 0)
@@ -330,6 +351,21 @@ def _extend_band(cfg: EngineConfig, pat, txt, plen, tlen, off, band_mask):
     return off
 
 
+def _map_classes(cfg: EngineConfig, pat, txt):
+    """Map token rows through the registered class-mask table.
+
+    Returns int32 mask rows; two cells match iff masks intersect. The
+    sentinels (and any byte absent from the table) map to 0, so padded
+    tails never match -- the generalized lambda-mode compare
+    (reference: wavefront_sequences.c:228-252).
+    """
+    from ..attributes import match_class_table
+    tbl = jnp.asarray(match_class_table(cfg.match_classes)
+                      .astype(np.int32))
+    to_idx = lambda a: a.astype(jnp.uint8).astype(jnp.int32)
+    return tbl[to_idx(pat)], tbl[to_idx(txt)]
+
+
 def _eq_skew(cfg: EngineConfig, pat, txt, W: Optional[int] = None,
              kmin: Optional[int] = None):
     """Per-diagonal equality eq[b, w, h]: pattern[h - k_w] vs text[h].
@@ -338,7 +374,9 @@ def _eq_skew(cfg: EngineConfig, pat, txt, W: Optional[int] = None,
     a padded pattern row W times and reshaping shifts each row by one);
     sentinel padding guarantees eq is False past either sequence end.
     W/kmin default to the config's band; passing a sub-range lets callers
-    build the band in diagonal chunks (see _build_lcp_table).
+    build the band in diagonal chunks (see _build_lcp_table). With
+    cfg.match_classes, equality becomes class-mask intersection over the
+    mapped rows (same skew, & instead of ==).
     """
     B = pat.shape[0]
     if W is None:
@@ -347,12 +385,17 @@ def _eq_skew(cfg: EngineConfig, pat, txt, W: Optional[int] = None,
         kmin = cfg.kmin
     Ltp = txt.shape[1]
     Lpp = pat.shape[1]
+    classes = bool(cfg.match_classes)
+    if classes:
+        pat, txt = _map_classes(cfg, pat, txt)
+        pad_val = pat.dtype.type(0)
+    else:
+        pad_val = np.int8(PATTERN_PAD)
     # pattern index for (w, h) is h - k_w + lead; pad so all indices exist:
     # h - k ranges over [-(kmin + W - 1), Ltp - 1 - kmin]
     lead = max(0, kmin + W - 1)
     tail = max(0, Ltp - Lpp - kmin) + 1
-    patpad = jnp.pad(pat, ((0, 0), (lead, tail)),
-                     constant_values=np.int8(PATTERN_PAD))
+    patpad = jnp.pad(pat, ((0, 0), (lead, tail)), constant_values=pad_val)
     N = patpad.shape[1]
     # patk[b, w, h] = patpad[b, c0 + h - w] with c0 = lead - kmin >= W-1
     c0 = lead - kmin
@@ -360,6 +403,8 @@ def _eq_skew(cfg: EngineConfig, pat, txt, W: Optional[int] = None,
     tiled = jnp.broadcast_to(patpad[:, None, :], (B, W, N)).reshape(B, W * N)
     skew = tiled[:, : W * (N - 1)].reshape(B, W, N - 1)
     patk = jax.lax.slice_in_dim(skew, c0, c0 + Ltp, axis=2)  # [B, W, Ltp]
+    if classes:
+        return (patk & txt[:, None, :]) != 0
     eq = patk == txt[:, None, :]
     if cfg.wildcard >= 0:
         # wildcard matches any real character but must NOT match the
@@ -483,7 +528,9 @@ def _build_lcp_table_h(cfg: EngineConfig, pat, txt):
     CPU test suite).
     """
     from .pallas import lcp_table as LT
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and not cfg.match_classes:
+        # (the Pallas builder compares raw tokens; class-mask matching
+        # uses the XLA skew builder, whose equality honors the classes)
         return LT.build_lcp_table_hmajor(cfg.W, cfg.kmin, cfg.wildcard,
                                          False, pat, txt)
     return jnp.transpose(_build_lcp_table(cfg, pat, txt), (2, 0, 1))
@@ -1551,6 +1598,22 @@ def align_batch_resume(cfg: EngineConfig, pat, txt, plen, tlen, frees,
     return _finish(cfg, state), state
 
 
+def unpause_max_steps(state):
+    """Un-pause pairs stopped at ST_MAX_STEPS so a subsequent
+    align_batch_resume with a RAISED max_steps continues them from their
+    retained wavefront ring -- the engine half of the reference's
+    experimental resume (reference: wavefront_align.c:245-266: a
+    MAX_STEPS-paused unidirectional alignment retains all state and
+    continues after max_steps is raised). Pairs paused at s == old
+    max_steps resume with the extension of that same score, exactly where
+    the loop left off."""
+    state = dict(state)
+    paused = state["status"] == ST_MAX_STEPS
+    state["status"] = jnp.where(paused, ST_RUNNING, state["status"])
+    state["done"] = state["done"] & ~paused
+    return state
+
+
 # ===========================================================================
 # Traceback walk (choices tensor -> op stream)
 # ===========================================================================
@@ -1710,15 +1773,33 @@ traceback_walk = functools.partial(jax.jit, static_argnums=(0,))(
     _traceback_walk)
 
 
+def packed_layout(cfg: EngineConfig) -> str:
+    """Static layout of the _pack_full output vector (single source of
+    truth for encoder and decoder):
+
+    - "full":    7*B int32 meta [status, final_s, end_k, end_off, n_ops,
+                 k_start, fallback] + ops_fwd [B, S_cap] sparse stream.
+    - "compact": per-pair 14-byte meta -- [B] status u8, [B] fallback u8,
+                 [4, B] int16 (final_s, end_k, n_ops, k_start), [B] int32
+                 end_off -- + the 4-bit-packed [B, ops_out//2] compacted
+                 op stream. Chosen when ops_out is active and every field
+                 fits: the pull rides a ~43 MB/s tunneled link, so meta
+                 bytes are wall time.
+    """
+    if not (0 < cfg.ops_out < cfg.S_cap):
+        return "full"
+    fits = (cfg.S_cap <= 32767 and cfg.W <= 65534
+            and (cfg.Lt + cfg.extend_chunk) <= 2**31 - 1)
+    return "compact" if fits else "full"
+
+
 def _pack_full(cfg: EngineConfig, out):
     """Walk + pack ALL full-scope outputs into ONE uint8 vector.
 
-    Layout (decoded by batch.align_pairs_finish): 7*B int32 little-endian
-    bytes [status, final_s, end_k, end_off, n_ops, k_start, fallback]
-    followed by ops_fwd [B, S_cap] row-major (sparse op stream in FORWARD
-    cigar order, as returned by _traceback_walk). Keeping walk + packing in
-    the SAME compiled program as the score loop makes a whole batch ONE
-    jit dispatch + ONE device->host pull -- on tunneled TPU links the
+    See packed_layout for the wire format (decoded by
+    batch.align_pairs_finish). Keeping walk + packing in the SAME
+    compiled program as the score loop makes a whole batch ONE jit
+    dispatch + ONE device->host pull -- on tunneled TPU links the
     per-dispatch RPC gap otherwise rivals the device time itself.
     """
     # walk clean completions AND droppped/unreachable pairs with a recorded
@@ -1732,7 +1813,39 @@ def _pack_full(cfg: EngineConfig, out):
         & (out["end_off"] > NULL_THRESHOLD))
     ops_fwd, n_ops, k_start, fb = _traceback_walk(
         cfg, out["choices"], out["final_s"], out["end_k"], ok)
-    meta = jnp.stack([out["status"], out["final_s"], out["end_k"],
+    status = out["status"]
+    if packed_layout(cfg) == "compact":
+        OC = cfg.ops_out
+        assert OC % 2 == 0
+        # compact the zero-sparse stream: token i's compacted position is
+        # cumsum(nonzero)-1; gather-by-position expressed as a one-hot
+        # matmul (comp[b,j] = sum_i ops[b,i] * [pos[b,i] == j]), which XLA
+        # fuses into a single MXU dot -- order-preserving, so the forward
+        # cigar order survives. (A lax.sort formulation compiles
+        # pathologically slowly through the remote-compile relay.)
+        nz = ops_fwd != 0
+        pos = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1,
+                        jnp.int32(OC))
+        oh = jax.nn.one_hot(pos, OC, dtype=jnp.float32)  # [B, S_cap, OC]
+        comp = jnp.einsum("bs,bso->bo", ops_fwd.astype(jnp.float32), oh,
+                          preferred_element_type=jnp.float32)
+        comp = comp.astype(jnp.uint8)
+        # 4-bit pack (tokens are WOP_*|WOP_MFLAG <= 7)
+        ops_stream = comp[:, 0::2] | (comp[:, 1::2] << 4)
+        # overflowing walks re-run at the next rung (never set at the
+        # terminal full-caps rung, where ops_out == 0)
+        status = jnp.where(ok & (n_ops > OC),
+                           jnp.int32(ST_OVERFLOW_S), status)
+        m16 = jnp.stack([out["final_s"], out["end_k"], n_ops,
+                         k_start]).astype(jnp.int16)
+        return jnp.concatenate([
+            status.astype(jnp.uint8),
+            fb.astype(jnp.uint8),
+            jax.lax.bitcast_convert_type(m16, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(
+                out["end_off"].astype(jnp.int32), jnp.uint8).reshape(-1),
+            ops_stream.reshape(-1)])
+    meta = jnp.stack([status, out["final_s"], out["end_k"],
                       out["end_off"], n_ops, k_start,
                       fb.astype(jnp.int32)])
     return jnp.concatenate([

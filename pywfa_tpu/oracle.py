@@ -115,9 +115,20 @@ class OracleAligner:
         run = _Run(attr, pattern, text, self.wildcard)
         run.plot = self.plot
         result = run.run()
-        if self.keep_wavefronts:
+        if (self.keep_wavefronts
+                or result.status == STATUS_MAX_STEPS_REACHED):
+            # retain a MAX_STEPS-paused run so align_resume can continue
+            # it (reference: wavefront_align.c:245-266)
             self.last_run = run
         return result
+
+    def align_resume(self, max_steps: int) -> OracleResult:
+        """Continue the last MAX_STEPS-paused alignment with a raised cap
+        (reference: wavefront_align.c:245-266 wavefront_align_resume)."""
+        if (self.last_run is None
+                or self.last_run.status != STATUS_MAX_STEPS_REACHED):
+            raise ValueError("no MAX_STEPS-paused alignment to resume")
+        return self.last_run.resume(max_steps)
 
 
 class _Run:
@@ -132,6 +143,14 @@ class _Run:
         self.tlen = len(text)
         self.pat = np.frombuffer(pattern, dtype=np.uint8).astype(np.int16)
         self.txt = np.frombuffer(text, dtype=np.uint8).astype(np.int16)
+        # match-equivalence classes (generalized lambda mode; reference:
+        # wavefront_sequences.c:228-252): chars match iff masks intersect
+        self.cls_pat = self.cls_txt = None
+        if getattr(attr, "match_classes", ""):
+            from .attributes import match_class_table
+            tbl = match_class_table(attr.match_classes).astype(np.int64)
+            self.cls_pat = tbl[self.pat]
+            self.cls_txt = tbl[self.txt]
         self.scope = attr.scope
         self.form = attr.form
         self.heur = attr.heuristic
@@ -182,9 +201,31 @@ class _Run:
         self._null_off = self._new_off()
         self._init_wf0()
         self._plot_record(0)
+        self.s = 0
+        return self._loop()
+
+    def resume(self, max_steps: int) -> OracleResult:
+        """Continue a MAX_STEPS-paused run with a raised cap.
+
+        All wavefront state is retained by this object, so continuation
+        picks up exactly where the loop paused (extension of the paused
+        score) -- the scalar analog of the reference's experimental
+        resume (reference: wavefront_align.c:245-266).
+        """
+        if self.status != STATUS_MAX_STEPS_REACHED:
+            raise ValueError("resume requires a MAX_STEPS_REACHED run "
+                             f"(status is {self.status})")
+        self.attr = dataclasses.replace(
+            self.attr, system=dataclasses.replace(
+                self.attr.system, max_alignment_steps=max_steps))
+        self.status = STATUS_OK
+        self.cigar.score = 0
+        return self._loop()
+
+    def _loop(self) -> OracleResult:
         end2end = self.form.span == AlignmentSpan.END_TO_END
         max_steps = self.attr.system.max_alignment_steps
-        s = 0
+        s = self.s
         while True:
             finished = self._extend(s, end2end)
             if finished:
@@ -200,6 +241,7 @@ class _Run:
                 self.status = STATUS_MAX_STEPS_REACHED
                 self.status_score = s
                 break
+        self.s = s
         return OracleResult(
             status=self.status,
             score=self.cigar.score,
@@ -211,15 +253,24 @@ class _Run:
         )
 
     def _plot_record(self, s: int) -> None:
-        """Record the M-wavefront for plotting (reference: wavefront_plot.c
-        hooks in wavefront_unialign.c:269-270 and aligner init)."""
+        """Record all live wavefront components for plotting (reference:
+        wavefront_plot.c:186-238 plots M plus I1/D1[/I2/D2] per metric,
+        hooked at wavefront_unialign.c:269-270 and aligner init)."""
         if self.plot is None:
             return
-        wf = self._get(Component.M, s)
-        if wf is None or wf.null:
-            return
-        sl = slice(wf.lo + self.koff, wf.hi + self.koff + 1)
-        self.plot.record(s, wf.lo, wf.hi, np.asarray(wf.off[sl]))
+        comp_names = {Component.I1: "I1", Component.D1: "D1",
+                      Component.I2: "I2", Component.D2: "D2"}
+        for comp in Component:
+            wf = self._get(comp, s)
+            if wf is None or wf.null:
+                continue
+            sl = slice(wf.lo + self.koff, wf.hi + self.koff + 1)
+            offs = np.asarray(wf.off[sl])
+            if comp == Component.M:
+                self.plot.record(s, wf.lo, wf.hi, offs)
+            elif hasattr(self.plot, "record_component"):
+                self.plot.record_component(comp_names[comp], s, wf.lo,
+                                           wf.hi, offs)
 
     # -- WF0 seeding (reference: wavefront_aligner.c:251-310) -----------
     def _init_wf0(self) -> None:
@@ -284,11 +335,14 @@ class _Run:
                 break
             vi = np.where(inb, v, 0)
             hi_ = np.where(inb, h, 0)
-            eq = self.pat[vi] == self.txt[hi_]
-            if self.wildcard is not None:
-                # single-wildcard matching (reference: align.pyx:297-304)
-                eq = eq | (self.pat[vi] == self.wildcard) \
-                        | (self.txt[hi_] == self.wildcard)
+            if self.cls_pat is not None:
+                eq = (self.cls_pat[vi] & self.cls_txt[hi_]) != 0
+            else:
+                eq = self.pat[vi] == self.txt[hi_]
+                if self.wildcard is not None:
+                    # single-wildcard matching (reference: align.pyx:297-304)
+                    eq = eq | (self.pat[vi] == self.wildcard) \
+                            | (self.txt[hi_] == self.wildcard)
             m = inb & eq
             if not m.any():
                 break

@@ -16,24 +16,30 @@ def check_alignment(ops: str, pattern: str, text: str,
                     penalties: Optional[Penalties] = None,
                     score: Optional[int] = None,
                     end_v: Optional[int] = None,
-                    end_h: Optional[int] = None) -> None:
+                    end_h: Optional[int] = None,
+                    matches=None) -> None:
     """Raise AssertionError if the CIGAR is inconsistent with the sequences.
 
     Checks: ops consume exactly [0, end_v) x [0, end_h); 'M' covers equal
     chars, 'X' covers unequal chars; optional score re-derivation matches.
+    `matches(a, b)`: custom equality for wildcard / match-class modes
+    (defaults to char equality).
     """
+    if matches is None:
+        matches = lambda a, b: a == b
     v = 0
     h = 0
     for c in ops:
         if c == "M":
             assert v < len(pattern) and h < len(text), "M out of bounds"
-            assert pattern[v] == text[h], \
+            assert matches(pattern[v], text[h]), \
                 f"M over mismatch at (v={v},h={h}): {pattern[v]}!={text[h]}"
             v += 1
             h += 1
         elif c == "X":
             assert v < len(pattern) and h < len(text), "X out of bounds"
-            assert pattern[v] != text[h], f"X over match at (v={v},h={h})"
+            assert not matches(pattern[v], text[h]), \
+                f"X over match at (v={v},h={h})"
             v += 1
             h += 1
         elif c == "I":

@@ -62,6 +62,40 @@ def test_plot():
     assert (grid >= 0).any()
 
 
+def test_plot_components_affine2p():
+    # per-component heatmaps (reference: wavefront_plot.h:55-66) on an
+    # affine2p pair with indels so I/D wavefronts materialize
+    import io
+    # a 12-base deletion engages the gap2 components (score reaches past
+    # o2+e2=25, so I2/D2 wavefronts materialize)
+    p = plot_alignment("TCTTTACTCGCGCGTTGGAGAAATACAATAGTCCGGTTAA",
+                       "TCTATACTGCGCGTTTGGAGTCCGGTTAG",
+                       span="end-to-end", distance="affine2p")
+    for comp in ("I1", "D1", "I2", "D2"):
+        assert len(p.comp_steps[comp]) > 0, comp
+        # gap heatmaps render (I/D bands are sparse; grid may still have
+        # visited cells for at least I1/D1)
+        p.to_grid(comp)
+    assert (p.to_grid("I1") >= 0).any()
+    assert (p.to_grid("D1") >= 0).any()
+    # behavior heatmap: both compute- and extend-reached cells exist
+    bg = p.behavior_grid()
+    assert (bg == 1).any() and (bg == 2).any()
+    buf = io.StringIO()
+    p.print_plot(buf)
+    out = buf.getvalue()
+    for section in ("# Heatmap M", "# Heatmap I1", "# Heatmap D2",
+                    "# Heatmap Behavior"):
+        assert section in out
+
+
+def test_plot_edit_metric_m_only():
+    p = plot_alignment("ACGTACGTAC", "ACGTTCGTAC", distance="levenshtein")
+    assert len(p.steps) > 0
+    assert all(not v for v in p.comp_steps.values())
+    assert (p.to_grid("M") >= 0).any()
+
+
 def test_profiler():
     t = Timer()
     with t:
