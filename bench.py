@@ -57,7 +57,7 @@ def main():
     # production parity: dispatch compacts the walk-op pull at
     # non-terminal rungs (batch.align_pairs_dispatch ops_out rule)
     import dataclasses as _dc
-    oc = min(cfg.S_cap, max(64, E._round_up(cfg.S_cap // 3, 2)))
+    oc = min(cfg.S_cap, max(32, E._round_up(cfg.S_cap // 3, 2)))
     if oc < cfg.S_cap:
         cfg = _dc.replace(cfg, ops_out=oc)
     C = cfg.extend_chunk

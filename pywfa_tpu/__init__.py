@@ -24,11 +24,29 @@ def _enable_compile_cache() -> None:
     once per machine.
     """
     try:
+        import hashlib
         import jax
+        # Partition the cache by host-CPU fingerprint: XLA:CPU AOT
+        # executables embed the compile machine's feature set, and loading
+        # one on a host missing those features (cache dir shared across
+        # machines/rounds via a persistent volume) SIGILLs/segfaults
+        # inside compilation_cache.get_executable_and_time. TPU entries
+        # re-compile once per machine; correctness over warm-start.
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = next((ln for ln in fh if ln.startswith("flags")), "")
+            fp = hashlib.md5(flags.encode()).hexdigest()[:10]
+        except OSError:
+            fp = "nofp"
         cache_dir = _os.environ.get(
             "PYWFA_TPU_CACHE",
             _os.path.join(_os.path.expanduser("~"), ".cache", "pywfa_tpu",
-                          "xla_cache"))
+                          f"xla_cache-{fp}"))
+        if not cache_dir:
+            # PYWFA_TPU_CACHE="" disables the persistent cache entirely
+            # (CPU-forced contexts: XLA:CPU AOT (de)serialization
+            # intermittently segfaults; tests/conftest.py sets this)
+            return
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -45,6 +63,7 @@ from .align import (  # noqa: F401,E402
     cigartuples_to_str,
     elide_mismatches_from_cigar,
 )
+from .attributes import register_match_classes  # noqa: F401,E402
 
 __version__ = "0.1.0"
 
@@ -54,4 +73,5 @@ __all__ = [
     "clip_cigartuples",
     "cigartuples_to_str",
     "elide_mismatches_from_cigar",
+    "register_match_classes",
 ]

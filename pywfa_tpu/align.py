@@ -462,9 +462,13 @@ class WavefrontAligner:
             elif self._wildcard:
                 w = self._wildcard
                 matches = lambda a, b: a == b or a == w or b == w
+            # a completed full-scope CIGAR consumes BOTH sequences fully
+            # (ends-free leading/trailing free runs are explicit I/D ops;
+            # result.end_v/end_h mark the alignment end BEFORE the
+            # trailing free block, so they are not the consumption bound)
             check_alignment(result.ops, self._pattern, text.upper(),
                             self._penalties,
-                            end_v=result.end_v, end_h=result.end_h,
+                            end_v=self.pattern_len, end_h=self.text_len,
                             matches=matches)
         if self._verbose >= 1:
             from .utils.profiler import report_alignment

@@ -26,6 +26,7 @@ from .cigar import Cigar, cigar_maxtrim
 from .constants import (
     AlignmentScope,
     AlignmentSpan,
+    HeuristicStrategy,
     MemoryMode,
     OFFSET_NULL,
     STATUS_ALG_COMPLETED,
@@ -241,24 +242,30 @@ def pallas_plan(cfg, frees_np: np.ndarray):
     force = os.environ.get("PYWFA_FORCE_PALLAS", "") not in ("", "0")
     if not (USE_PALLAS or force):
         return None
-    TB = PALLAS_TB or fused_loop.routed_tile(cfg)
-    if TB is None and force:
-        TB = 32
-    if TB is None or not fused_loop.supported(cfg):
+
+    def reject(why):
+        if force:
+            print(f"[pywfa_tpu::pallas] PYWFA_FORCE_PALLAS=1 not honored: "
+                  f"{why}; routing to XLA", file=sys.stderr, flush=True)
         return None
+
+    TB = PALLAS_TB or fused_loop.routed_tile(cfg)
+    if TB is None and force and fused_loop.supported(cfg):
+        TB = 32  # supported-but-slower config: honor the force flag
+    if TB is None or not fused_loop.supported(cfg):
+        return reject("config unsupported by the fused kernel "
+                      "(fused_loop.supported)")
     if jax.default_backend() == "cpu" and not force:
         return None
-    NQ = -(-(cfg.Lt + cfg.extend_chunk) // 32)
-    # VMEM budget: bits tile + ring scratch (+ slack for the step's
-    # [TB, W] temporaries); the choices record streams to HBM via a
-    # [2, TB, W] scratch, so S_cap doesn't enter the budget
-    if (NQ * TB * cfg.W * 4
-            + fused_loop.n_comp(cfg) * cfg.scope * TB * cfg.W * 4
-            ) >= 10 * 2**20:
-        return None
+    # VMEM budget from the kernel's REAL scratch shapes
+    # (fused_loop.vmem_estimate; ~6 MB headroom for the step's [TB, W]
+    # temporaries). The choices record streams to HBM via a [2, TB, W]
+    # scratch, so S_cap doesn't enter the budget.
+    if fused_loop.vmem_estimate(cfg, TB) >= 10 * 2**20:
+        return reject(f"VMEM estimate over budget at TB={TB}")
     # WF0 ends-free seeds must fit the band
     if int(np.max(frees_np[:, [0, 2]], initial=0)) >= -cfg.kmin - 2:
-        return None
+        return reject("ends-free WF0 seeds exceed the band")
     return TB
 # The fused Pallas loop is the default TPU path for the configs it supports
 # (measured ~20% faster than the XLA engine at the 150bp/B=4096 headline:
@@ -390,7 +397,8 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
     return fn(cfg, TB, B, fused, plen, tlen, frees, max_steps)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(**({"slots": True} if sys.version_info >= (3, 10)
+                           else {}))
 class BatchResult:
     """Per-pair outcome of a batched alignment."""
 
@@ -518,11 +526,19 @@ LCP_TABLE_BYTES_CAP_REMAT = int(os.environ.get("PYWFA_REMAT_LCP_BYTES",
                                                8 * 2**30))
 
 
+# safety margin on the per-step cost model below: the constants are
+# v5e-measured, so other TPU generations (or unmeasured shapes) could run
+# slower and let one program outlive the remote worker's execution
+# watchdog; on slower parts also lower PYWFA_PROGRAM_BUDGET_S
+_STEP_MODEL_SAFETY = float(os.environ.get("PYWFA_STEP_MODEL_SAFETY", 2.0))
+
+
 def _est_step_seconds(cfg, B: int) -> float:
     """Rough per-score-step device-time model, for bounding program wall
     time (conservative; only large shapes matter). Measured v5e: chunked
     extension ~400 ns/lane-step, W-major LCP gather ~16 ns, h-major
-    one-hot modes far below either."""
+    one-hot modes far below either; _STEP_MODEL_SAFETY covers other
+    generations."""
     lanes = B * cfg.W
     mode = E._extend_mode(cfg, cfg.Lt + cfg.extend_chunk)
     if mode == "chunk":
@@ -531,7 +547,7 @@ def _est_step_seconds(cfg, B: int) -> float:
         per = 30e-9
     else:
         per = 5e-9
-    return lanes * per
+    return lanes * per * _STEP_MODEL_SAFETY
 
 
 def _print_progress(cfg, B, s_now, state, snaps_bytes):
@@ -928,6 +944,9 @@ class BatchWavefrontAligner:
 # this full-CIGAR pairs fall back to the host oracle
 CHOICES_BYTES_CAP = 4 * 2**30
 
+# (attr0, shape...) -> (full_probe, cfg, at_full_caps); see dispatch
+_CFG_MEMO: dict = {}
+
 
 def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
     """Band width sufficient for any alignment of score <= S.
@@ -955,6 +974,29 @@ def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
         den = 1
     reach = min(S, S // den + 1)
     band = 2 * (reach + abs(maxLp - maxLt)) + 2 * pad + 8
+    # band-limiting heuristics bound the LIVE band regardless of score,
+    # and per-step device cost is proportional to the STATIC band W (the
+    # fixed-width tensor is processed whole every step) -- so cap W from
+    # the heuristic's own bound or pruning saves nothing. wfadaptive
+    # keeps diagonals within max_distance_threshold of the best
+    # (reference: wavefront_heuristic.c:176-293); banded clamps to
+    # [min_k, max_k] (:454-505). Undersized caps are safe: overflow
+    # escalates 4x wider.
+    h = attr.heuristic
+    strat = int(h.strategy)
+    diff2 = 2 * abs(maxLp - maxLt)
+    if strat & int(HeuristicStrategy.WFADAPTIVE | HeuristicStrategy.WFMASH):
+        band = min(band, 2 * h.max_distance_threshold
+                   + h.min_wavefront_length + diff2 + 2 * pad + 72)
+    if strat & int(HeuristicStrategy.XDROP):
+        # x-drop prunes diagonals whose SW score lags the best by xdrop;
+        # score falls ~gap_e per diagonal off the best path, so the live
+        # band stays within ~xdrop/gap_e of it (+ drift margin)
+        ge = max(1, attr.penalties.internal_gap_e)
+        band = min(band, 4 * (h.xdrop // ge + 1) + diff2 + 2 * pad + 128)
+    if strat & int(HeuristicStrategy.BANDED_STATIC
+                   | HeuristicStrategy.BANDED_ADAPTIVE):
+        band = min(band, (h.max_k - h.min_k) + diff2 + 2 * pad + 8)
     f = attr.form
     if f.span == AlignmentSpan.ENDS_FREE and not f.extension:
         seed = (min(f.pattern_begin_free, maxLp)
@@ -1131,29 +1173,44 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     # with jittery max lengths (an explicit Lp/Lt arg still wins if larger)
     Lp = max(Lp or 0, _bucket_len(maxLp))
     Lt = max(Lt or 0, _bucket_len(maxLt))
-    full_probe = E.full_config(attr0, Lp, Lt, record_choices=scope_full)
-    # optimistic first rung, scaled to the read length (typical scores run
-    # ~L*divergence*cost, far below the worst case); escalation handles
-    # the tail. The band is sized for the rung's score via the
-    # gap-extension growth rate, NOT the worst case -- at the 150bp
-    # headline this is W=128 vs the 512 a worst-case band would cost, a
-    # ~4x cut in per-step device work.
-    S0 = max(96, E._round_up(min(maxLp, maxLt) // 6 + 1, 32))
-    if (W is None and S_cap is None and full_probe.S_cap > S0
-            and not _escalated):
-        S_cap = min(S0, full_probe.S_cap)
-        W = min(full_probe.W,
-                E._round_up(_band_for_score(attr0, S_cap, Lp, Lt), 128))
-    cfg = E.full_config(attr0, Lp, Lt,
-                        wildcard=(wildcard if wildcard is not None else -1),
-                        W=W, S_cap=S_cap, record_choices=scope_full)
-    at_full_caps = cfg.S_cap >= full_probe.S_cap and cfg.W >= full_probe.W
-    if scope_full and not at_full_caps:
-        # compacted 4-bit walk-op pull (see EngineConfig.ops_out); pairs
-        # with more ops than this re-run at the next rung
-        oc = min(cfg.S_cap, max(64, E._round_up(cfg.S_cap // 3, 2)))
-        if oc < cfg.S_cap:
-            cfg = dataclasses.replace(cfg, ops_out=oc)
+    # config derivation memo: validate/full_config/rung selection costs
+    # ~1.5 ms per batch, a measurable slice of a ~20 ms pipelined batch
+    memo_key = (attr0, Lp, Lt, min(maxLp, maxLt), W, S_cap, wildcard,
+                scope_full, _escalated)
+    memo = _CFG_MEMO.get(memo_key)
+    if memo is not None:
+        full_probe, cfg, at_full_caps = memo
+    else:
+        full_probe = E.full_config(attr0, Lp, Lt, record_choices=scope_full)
+        # optimistic first rung, scaled to the read length (typical scores
+        # run ~L*divergence*cost, far below the worst case); escalation
+        # handles the tail. The band is sized for the rung's score via the
+        # gap-extension growth rate, NOT the worst case -- at the 150bp
+        # headline this is W=128 vs the 512 a worst-case band would cost,
+        # a ~4x cut in per-step device work.
+        S0 = max(96, E._round_up(min(maxLp, maxLt) // 6 + 1, 32))
+        if (W is None and S_cap is None and full_probe.S_cap > S0
+                and not _escalated):
+            S_cap = min(S0, full_probe.S_cap)
+            W = min(full_probe.W,
+                    E._round_up(_band_for_score(attr0, S_cap, Lp, Lt), 128))
+        cfg = E.full_config(attr0, Lp, Lt,
+                            wildcard=(wildcard if wildcard is not None
+                                      else -1),
+                            W=W, S_cap=S_cap, record_choices=scope_full)
+        at_full_caps = (cfg.S_cap >= full_probe.S_cap
+                        and cfg.W >= full_probe.W)
+        if scope_full and not at_full_caps:
+            # compacted 4-bit walk-op pull (see EngineConfig.ops_out);
+            # pairs with more ops than this re-run at the next rung
+            # (guaranteed to fit there: next ops_out >= 4*S_cap//3 >=
+            # S_cap >= n_ops)
+            oc = min(cfg.S_cap, max(32, E._round_up(cfg.S_cap // 3, 2)))
+            if oc < cfg.S_cap:
+                cfg = dataclasses.replace(cfg, ops_out=oc)
+        if len(_CFG_MEMO) > 512:
+            _CFG_MEMO.clear()
+        _CFG_MEMO[memo_key] = (full_probe, cfg, at_full_caps)
     # lcp-table feasibility must precede the wall-budget estimate (the
     # extension mode depends on it)
     lcp_bytes = 3 * B * cfg.W * (cfg.Lt + cfg.extend_chunk)
@@ -1419,8 +1476,12 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
         if next_S >= full_probe.S_cap:
             next_W, next_S = None, None  # terminal rung: worst-case caps
         else:
+            # at least 2x band growth per rung: heuristic-capped bands
+            # (_band_for_score) are score-independent, and W-overflow
+            # pairs must not re-run at an unchanged width
             next_W = min(full_probe.W, E._round_up(
-                _band_for_score(attr0, next_S, maxLp, maxLt), 128))
+                max(_band_for_score(attr0, next_S, maxLp, maxLt),
+                    cfg.W * 2), 128))
         sub = align_pairs(attr, sub_p, sub_t, wildcard,
                           W=next_W, S_cap=next_S, Lp=Lp, Lt=Lt,
                           _escalated=True)

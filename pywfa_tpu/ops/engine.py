@@ -441,26 +441,37 @@ def _build_lcp_table(cfg: EngineConfig, pat, txt):
     hidx = jnp.arange(Ltp, dtype=dt)[None, None, :]
     big = dt(Ltp)
 
-    def build(W, kmin):
-        eq = _eq_skew(cfg, pat, txt, W=W, kmin=kmin)
-        mism = jnp.where(eq, big, hidx)
-        nm = jax.lax.cummin(mism, axis=2, reverse=True)
-        return jnp.minimum(nm, big) - hidx
-
     N_est = max(0, cfg.kmin + cfg.W - 1) + pat.shape[1] \
         + max(0, Ltp - pat.shape[1] - cfg.kmin) + 1
     CAP = LCP_BUILD_ELEMS_CAP
-    if B * cfg.W * N_est <= CAP:
-        run = build(cfg.W, cfg.kmin)
-    else:
-        Wc = max(128, _round_up(CAP // max(1, B * N_est), 128))
+
+    def build_batch(p, t):
+        def build(W, kmin):
+            eq = _eq_skew(cfg, p, t, W=W, kmin=kmin)
+            mism = jnp.where(eq, big, hidx)
+            nm = jax.lax.cummin(mism, axis=2, reverse=True)
+            return jnp.minimum(nm, big) - hidx
+
+        Bp = p.shape[0]
+        if Bp * cfg.W * N_est <= CAP:
+            return build(cfg.W, cfg.kmin)
+        Wc = max(128, _round_up(CAP // max(1, Bp * N_est), 128))
         chunks = []
         w0 = 0
         while w0 < cfg.W:
             wc = min(Wc, cfg.W - w0)
             chunks.append(build(wc, cfg.kmin + w0))
             w0 += wc
-        run = jnp.concatenate(chunks, axis=1)
+        return jnp.concatenate(chunks, axis=1)
+
+    # extreme short-read/huge-B corner: even a single 128-wide diagonal
+    # chunk can exceed the cap, so chunk the batch dimension first
+    Bc = max(1, CAP // max(1, N_est * 128))
+    if B > Bc:
+        run = jnp.concatenate([build_batch(pat[i: i + Bc], txt[i: i + Bc])
+                               for i in range(0, B, Bc)], axis=0)
+    else:
+        run = build_batch(pat, txt)
     if Ltp < 250:
         # short reads: runs fit uint8, halving the per-step lookup stream
         return run.astype(jnp.uint8)

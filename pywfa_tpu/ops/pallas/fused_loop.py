@@ -72,24 +72,50 @@ def n_comp(cfg) -> int:
     return 5 if cfg.metric == DistanceMetric.GAP_AFFINE_2P else 3
 
 
+def vmem_estimate(cfg, TB: int) -> int:
+    """VMEM bytes one kernel tile allocates, derived from the SAME shapes
+    align_batch_pallas passes to pallas_call (in_specs/scratch_shapes
+    below) so the routing predicate in batch.pallas_plan cannot
+    desynchronize from the kernel's real scratch layout. Excludes the
+    per-step register-like temporaries, which the caller budgets as
+    headroom against the ~16 MB/core VMEM."""
+    NQ = -(-(cfg.Lt + cfg.extend_chunk) // 32)
+    W, scope = cfg.W, cfg.scope
+    return (NQ * TB * W * 4                      # eq-bits tile
+            + n_comp(cfg) * scope * TB * W * 4   # offsets ring scratch
+            + n_comp(cfg) * scope * TB * 2 * 4   # lo/hi ring scratch
+            + 2 * TB * W                         # choices stream scratch
+            + TB * (1 + 1 + 4 + 8) * 4)          # plen/tlen/frees/result
+
+
 def routed_tile(cfg):
     """Measured routing: batch-tile size when the fused kernel beats the
     XLA engine for this config, else None (XLA is faster).
 
-    v5e, 4096x150bp, W=128/S_cap=96, slope-timed ms/batch (tools/
-    bench_pallas.py): affine 5.6 pallas vs 6.7 XLA (TB=32); affine +
-    wfadaptive 6.3 vs 7.6 (TB=64); affine2p + wfadaptive 6.6 vs 31.0
-    (TB=64, the XLA heuristic path pays per-component equates); plain
-    affine2p 7.4 vs 5.7 -- the 5-component arithmetic chain is
-    issue-bound at kernel tile sizes while XLA amortizes over the full
-    batch, so that one config routes to XLA.
+    v5e slope-timed ms/batch (tools/bench_pallas.py):
+
+    4096 x 150bp, W=128/S_cap=96: affine 5.6 pallas vs 6.7 XLA (TB=32);
+    ends-free affine 5.5 vs 6.8 (TB=32); affine + wfadaptive 6.3 vs 7.6
+    (TB=64); affine2p + wfadaptive 6.6 vs 31.0 (TB=64, the XLA heuristic
+    path pays per-component equates); plain affine2p 7.4 vs 5.7 -- the
+    5-component arithmetic chain is issue-bound at kernel tile sizes
+    while XLA amortizes over the full batch, so that config routes to
+    XLA.
+
+    512 x 1kb, W=256/S_cap=192 (the production 1 kb rung): affine 5.9
+    pallas vs 32.8 XLA (TB=32); plain affine2p 7.0 vs 32.9 (TB=16 --
+    the wider band feeds the VPU enough that the kernel wins affine2p
+    too); affine + wfadaptive 7.3 vs 33.2 (TB=64). Losing shape on
+    record: plain affine2p at W<=128 only.
     """
     if not supported(cfg):
         return None
     if cfg.strategy:
         return 64
     if cfg.metric == DistanceMetric.GAP_AFFINE_2P:
-        return None
+        # crossover measured between W=128 (XLA wins) and W=256 (kernel
+        # wins 4.7x); route wider-band 2p shapes to the kernel
+        return 16 if cfg.W >= 256 else None
     return 32
 
 

@@ -118,3 +118,27 @@ def test_tpu_drops():
     hx = HeuristicParams(strategy=HeuristicStrategy.XDROP, xdrop=10,
                          steps_between_cutoffs=1)
     _run_both(_pairs(37, sub=0.3, ind=0.2), "end-to-end", heuristic=hx)
+
+
+def test_tpu_affine2p_drops():
+    """affine2p combined with x-drop/z-drop on hardware (VERDICT r3
+    item 5: the 5-component kernel with in-loop drops)."""
+    _tpu_or_skip()
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    hz = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=12,
+                         steps_between_cutoffs=1)
+    _run_both(_pairs(38, sub=0.3, ind=0.2), "end-to-end",
+              distance="affine2p", heuristic=hz)
+    hx = HeuristicParams(strategy=HeuristicStrategy.XDROP, xdrop=10,
+                         steps_between_cutoffs=1)
+    _run_both(_pairs(39, sub=0.3, ind=0.2), "end-to-end",
+              distance="affine2p", heuristic=hx)
+
+
+def test_tpu_1kb_shape():
+    """1 kb reads through the kernel (the shape routed per the 1 kb
+    measurement in fused_loop.routed_tile; W=256-class band)."""
+    _tpu_or_skip()
+    _run_both(_pairs(40, n=8, lo=900, hi=1000, sub=0.02, ind=0.01),
+              "end-to-end")

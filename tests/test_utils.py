@@ -89,6 +89,34 @@ def test_plot_components_affine2p():
         assert section in out
 
 
+def test_check_alignment_endsfree_trailing_frees():
+    # regression (found by tools/soak_sanitize.py): check_alignment=True
+    # misfired on ends-free alignments with trailing free indels -- the
+    # CIGAR consumes both sequences fully (frees are explicit ops) while
+    # end_v/end_h mark the pre-trailing alignment end
+    from pywfa_tpu.align import WavefrontAligner
+    a = WavefrontAligner(pattern="ACGTACGTACGTACGTAAAA", span="ends-free",
+                         pattern_begin_free=5, pattern_end_free=5,
+                         text_begin_free=5, text_end_free=5,
+                         backend="numpy", check_alignment=True)
+    r = a("ACGTACGTACGTACGT")
+    assert r.score == 0 and a.cigarstring == "16M4D"
+
+
+def test_sanitizer_soak_smoke():
+    # the ASan-analog stress config (tools/soak_sanitize.py), 2 quick
+    # iterations in-process so CI exercises the guard combination
+    import subprocess
+    import sys as _sys
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "soak_sanitize.py"),
+         "1", "2"], capture_output=True, timeout=500, cwd=repo)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    assert b"no traps fired" in out.stdout
+
+
 def test_plot_edit_metric_m_only():
     p = plot_alignment("ACGTACGTAC", "ACGTTCGTAC", distance="levenshtein")
     assert len(p.steps) > 0

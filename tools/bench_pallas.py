@@ -45,7 +45,13 @@ def main():
     pats, txts = bench.make_pairs(rng, B, L, 0.02)
 
     dist = os.environ.get("BENCH_DIST", "affine")
-    api = WavefrontAligner(backend="numpy", span="end-to-end", distance=dist)
+    span = os.environ.get("BENCH_SPAN", "end-to-end")
+    free = int(os.environ.get("BENCH_FREE", 20))
+    kw = {}
+    if span == "ends-free":
+        kw = dict(pattern_begin_free=free, pattern_end_free=free,
+                  text_begin_free=free, text_end_free=free)
+    api = WavefrontAligner(backend="numpy", span=span, distance=dist, **kw)
     attr = api._attributes()
     if os.environ.get("BENCH_HEUR") == "adaptive":
         import dataclasses
@@ -62,10 +68,14 @@ def main():
     txt = jnp.asarray(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL))
     plen = jnp.full((B,), L, dtype=jnp.int32)
     tlen = jnp.full((B,), L, dtype=jnp.int32)
-    frees = jnp.zeros((B, 4), dtype=jnp.int32)
+    from pywfa_tpu.batch import _build_frees
+    frees_np = _build_frees(attr, B, np.full(B, L), np.full(B, L))
+    frees = jnp.asarray(frees_np)
     ms = jnp.int32(2**31 - 1)
 
-    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap} dist={dist} heur={os.environ.get("BENCH_HEUR", "-")}")
+    print(f"device={jax.devices()[0]} B={B} L={L} W={W} S_cap={S_cap} "
+          f"dist={dist} span={span} "
+          f"heur={os.environ.get('BENCH_HEUR', '-')}")
 
     # --- XLA path ---
     def run_xla():

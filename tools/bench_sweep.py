@@ -39,13 +39,13 @@ def make_pairs(rng, n, length, sub, ind):
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SWEEP_r03.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SWEEP_r04.json"
     import jax
     from pywfa_tpu.align import WavefrontAligner
     from pywfa_tpu.batch import align_pairs, align_pairs_stream
 
     BASELINE = 10e6  # cells/s north star
-    sizes = {150: 4096, 1000: 512, 10000: 8}
+    sizes = {150: 4096, 1000: 512, 10000: 32}
     iters_for = {150: 3, 1000: 2, 10000: 1}
     records = []
     device = str(jax.devices()[0])
@@ -80,9 +80,37 @@ def main():
                       f" {dt*1e3:9.1f} ms  {cells/dt/1e9:8.2f} GCUPS "
                       f" ({n_ok}/{B} ok)", file=sys.stderr, flush=True)
 
+    # heuristic-on long reads: the realistic 10kb operating point
+    # (BASELINE configs 4/5 pair heuristics with 1kb+ reads; exact
+    # alignment at 10% divergence is the adversarial corner, not the
+    # production path)
+    for heur in ("adaptive", "X-drop"):
+        for div in (0.05, 0.10):
+            L, B = 10000, 32
+            rng = np.random.default_rng(int(L + div * 1000))
+            pats, txts = make_pairs(rng, B, L, sub=div * 2 / 3, ind=div / 3)
+            attr = WavefrontAligner(backend="numpy", span="end-to-end",
+                                    heuristic=heur)._attributes()
+            res = align_pairs(attr, pats, txts)  # warm
+            t0 = time.time()
+            res = align_pairs(attr, pats, txts)
+            dt = time.time() - t0
+            n_ok = sum(1 for r in res if r.status == 0)
+            cells = B * L * L
+            rec = dict(length=L, batch=B, divergence=div, scope="full",
+                       heuristic=heur, wall_s_per_batch=round(dt, 4),
+                       pairs_per_s=round(B / dt, 1),
+                       cells_per_s=round(cells / dt, 1),
+                       vs_baseline=round(cells / dt / BASELINE, 1),
+                       complete=n_ok, total=B)
+            records.append(rec)
+            print(f"L={L:<6d} div={div:<5} heur={heur:<8}"
+                  f" {dt*1e3:9.1f} ms  {cells/dt/1e9:8.2f} GCUPS "
+                  f" ({n_ok}/{B} ok)", file=sys.stderr, flush=True)
+
     # pipelined stream at the headline shape, all divergences
     for div in (0.02, 0.05, 0.10):
-        B, L, NB = 4096, 150, 6
+        B, L, NB = 4096, 150, 10
         attr = WavefrontAligner(backend="numpy",
                                 span="end-to-end")._attributes()
         batches = [make_pairs(np.random.default_rng(s + int(div * 100)),

@@ -18,6 +18,9 @@ import sys
 # run CPU-only and do NOT claim the TPU (the axon sitecustomize registers a
 # TPU grant for every python process unless this is unset)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# CPU runs skip the persistent compile cache (XLA:CPU AOT
+# (de)serialization can segfault; see tests/conftest.py)
+os.environ["PYWFA_TPU_CACHE"] = ""
 sys.path.insert(0, ".")
 
 import jax

@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU runs skip the persistent compile cache (XLA:CPU AOT
+# (de)serialization can segfault; see tests/conftest.py)
+os.environ["PYWFA_TPU_CACHE"] = ""
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
 
 import jax  # noqa: E402
@@ -90,10 +93,51 @@ def main():
     np.asarray(out["status"])
     dt = (time.time() - t0) / max(iters, 1)
 
+    # --- overhead decomposition (VERDICT r3: separate collective cost
+    # from shared-core contention) ---
+    # (a) no-gather twin: identical sharded computation, results left
+    # batch-sharded -> dt - dt_nogather isolates the gather collective
+    fn_ng = sharded_align_batch(cfg, mesh, gather_results=False)
+
+    def run_ng():
+        return fn_ng(g["pat"], g["txt"], g["plen"], g["tlen"], g["frees"],
+                     ms)
+    o = run_ng()
+    jax.block_until_ready(o["status"])
+    t0 = time.time()
+    for _ in range(iters):
+        o = run_ng()
+    jax.block_until_ready(o["status"])
+    dt_nogather = (time.time() - t0) / max(iters, 1)
+
+    # (b) local-only control: the SAME per-device shard on a mesh of just
+    # this process's devices (no jax.distributed in the program) -> pure
+    # local compute under the point's CPU contention; dt_nogather -
+    # dt_local isolates multi-process/global-mesh overhead beyond the
+    # collective itself
+    lmesh = make_mesh(jax.local_devices())
+    Bl = B * len(jax.local_devices()) // len(jax.devices())
+    host_l = {k: (a[:Bl], s) for k, (a, s) in host.items()}
+    gl = make_global_batch(lmesh, host_l)
+    fn_l = sharded_align_batch(cfg, lmesh, gather_results=False)
+
+    def run_l():
+        return fn_l(gl["pat"], gl["txt"], gl["plen"], gl["tlen"],
+                    gl["frees"], ms)
+    o = run_l()
+    jax.block_until_ready(o["status"])
+    t0 = time.time()
+    for _ in range(iters):
+        o = run_l()
+    jax.block_until_ready(o["status"])
+    dt_local = (time.time() - t0) / max(iters, 1)
+
     rec = dict(process_id=pid, num_processes=nproc,
                local_devices=len(jax.local_devices()),
                global_devices=len(jax.devices()),
-               B=B, L=L, s_per_batch=dt, pairs_per_s=B / dt, meta=meta)
+               B=B, L=L, s_per_batch=dt, pairs_per_s=B / dt,
+               s_per_batch_nogather=dt_nogather,
+               s_per_batch_local=dt_local, meta=meta)
     with open(out_path, "w") as f:
         json.dump(rec, f)
     print(f"proc {pid}/{nproc}: {B / dt:.0f} pairs/s "
