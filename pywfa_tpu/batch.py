@@ -947,6 +947,31 @@ CHOICES_BYTES_CAP = 4 * 2**30
 # (attr0, shape...) -> (full_probe, cfg, at_full_caps); see dispatch
 _CFG_MEMO: dict = {}
 
+# constant device arrays reused across batches (uniform lens, zero frees,
+# max_steps scalars): each jnp.full/zeros/int32 is a device operation =
+# one more RPC per batch on tunneled links. jax.Arrays are immutable, so
+# sharing across dispatches is safe.
+_DEV_CONST_CACHE: dict = {}
+
+
+def _dev_const(kind, *key):
+    import jax.numpy as jnp
+    k = (kind,) + key
+    arr = _DEV_CONST_CACHE.get(k)
+    if arr is None:
+        if kind == "full":
+            B, v = key
+            arr = jnp.full((B,), v, dtype=jnp.int32)
+        elif kind == "zeros2":
+            B, n = key
+            arr = jnp.zeros((B, n), dtype=jnp.int32)
+        else:  # "i32" scalar
+            arr = jnp.int32(key[0])
+        if len(_DEV_CONST_CACHE) > 256:
+            _DEV_CONST_CACHE.clear()
+        _DEV_CONST_CACHE[k] = arr
+    return arr
+
 
 def _band_for_score(attr, S: int, maxLp: int, maxLt: int) -> int:
     """Band width sufficient for any alignment of score <= S.
@@ -1249,15 +1274,15 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     def _push_lens(a):
         v = int(a[0])
         if (a == v).all():
-            return jnp.full((B,), v, dtype=jnp.int32)
+            return _dev_const("full", B, v)
         return jnp.asarray(a)
     plen = _push_lens(plens)
     tlen = _push_lens(tlens)
     frees_np = _build_frees(attr0, B, plens, tlens)
-    frees = (jnp.zeros((B, 4), dtype=jnp.int32) if not frees_np.any()
+    frees = (_dev_const("zeros2", B, 4) if not frees_np.any()
              else jnp.asarray(frees_np))
     max_steps_i = min(attr0.system.max_alignment_steps, 2**31 - 1)
-    max_steps = jnp.int32(max_steps_i)
+    max_steps = _dev_const("i32", max_steps_i)
 
     # ONE compiled call producing ONE packed output array (walk + meta
     # packing run inside the same program as the score loop), pulled in

@@ -59,6 +59,61 @@ def test_sharded_matches_single_device():
                                   np.asarray(ref["choices"]))
 
 
+@needs_devices
+def test_sharded_endsfree_perpair_frees_and_heuristic():
+    """Sharded step with varied PER-PAIR ends-free frees (multi-cell WF0
+    seeding) and, separately, the wf-adaptive heuristic in-loop -- each
+    byte-equal to the single-device run (the CI twin of
+    __graft_entry__.dryrun_multichip configs 2-3)."""
+    import dataclasses
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+
+    B, L = 32, 64
+    pats, txts = _mk_batch(B, L, seed=3)
+    mesh = make_mesh(jax.devices()[:8])
+    b1 = NamedSharding(mesh, P("data"))
+    b2 = NamedSharding(mesh, P("data", None))
+
+    def run_both(attr, frees_np):
+        cfg = E.full_config(attr, L, L)
+        C = cfg.extend_chunk
+        pat = jnp.asarray(encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL))
+        txt = jnp.asarray(encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL))
+        plen = jnp.full((B,), L, jnp.int32)
+        tlen = jnp.full((B,), L, jnp.int32)
+        frees = jnp.asarray(frees_np)
+        ms = jnp.int32(2**31 - 1)
+        ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+        fn = sharded_align_batch(cfg, mesh)
+        out = fn(jax.device_put(pat, b2), jax.device_put(txt, b2),
+                 jax.device_put(plen, b1), jax.device_put(tlen, b1),
+                 jax.device_put(frees, b2), ms)
+        for key in ("status", "final_s", "end_k", "end_off"):
+            np.testing.assert_array_equal(np.asarray(out[key]),
+                                          np.asarray(ref[key]), err_msg=key)
+
+    # ends-free with per-pair varied frees
+    api = WavefrontAligner(backend="numpy", span="ends-free",
+                           pattern_begin_free=8, pattern_end_free=8,
+                           text_begin_free=8, text_end_free=8)
+    frees_v = np.zeros((B, 4), np.int32)
+    frees_v[:, 0] = np.arange(B) % 9
+    frees_v[:, 1] = 8
+    frees_v[:, 2] = (np.arange(B) * 3) % 9
+    frees_v[:, 3] = 8
+    run_both(api._attributes(), frees_v)
+
+    # wf-adaptive inside the sharded loop
+    attr_h = dataclasses.replace(
+        WavefrontAligner(backend="numpy", span="end-to-end")._attributes(),
+        heuristic=HeuristicParams(strategy=HeuristicStrategy.WFADAPTIVE,
+                                  min_wavefront_length=5,
+                                  max_distance_threshold=15,
+                                  steps_between_cutoffs=1))
+    run_both(attr_h, np.zeros((B, 4), np.int32))
+
+
 def test_bucketing():
     pats = [b"A" * 30, b"C" * 100, b"G" * 30, b"T" * 500]
     txts = [b"A" * 40, b"C" * 90, b"G" * 25, b"T" * 480]
