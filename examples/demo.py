@@ -52,3 +52,21 @@ from pywfa_tpu.utils.plot import plot_alignment
 plot = plot_alignment(pattern, text, span="end-to-end")
 print("wavefront heatmap:")
 print(plot.to_text())
+
+# --- IUPAC / custom match-equivalence classes -----------------------------
+# (the tensor form of WFA2-lib's lambda match mode)
+ai = WavefrontAligner(pattern="ANGTRCGT", match_classes="iupac",
+                      span="end-to-end")
+print("iupac score:", ai("ACGTACGT").score)  # 0: N matches all, R matches A/G
+
+# --- resume after max_steps ----------------------------------------------
+ar = WavefrontAligner(pattern=pats[0], span="end-to-end", max_steps=4)
+ar.wavefront_align(txts[0])
+print("paused status:", ar.status)           # -100 (MAX_STEPS_REACHED)
+ar.max_steps = 10_000
+print("resumed score:", ar.wavefront_align_resume())
+
+# --- per-component heatmaps + behavior map --------------------------------
+p2 = plot_alignment(pattern, text, span="end-to-end", distance="affine2p")
+print("I1 band cells:", int((p2.to_grid("I1") >= 0).sum()),
+      "| extend-reached cells:", int((p2.behavior_grid() == 2).sum()))
