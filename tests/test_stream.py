@@ -122,3 +122,29 @@ def test_batch_aligner_align_stream():
     batches = [(["ACGTACGT"], ["ACGTACGT"]), (["AAAA"], ["AATA"])]
     out = [r for rs in ba.align_stream(iter(batches)) for r in rs]
     assert out[0].ops == "M" * 8 and out[1].score == -4
+
+
+def test_ops_overflow_escalates_byte_equal():
+    """A pair whose walk has MORE ops than the rung's compacted pull cap
+    (EngineConfig.ops_out) must escalate and still match the oracle: a
+    40-base gap under affine2p completes at wf-score ~64 (< the first
+    rung's S_cap) but walks ~41 ops (> ops_out=32), exercising the
+    ops-overflow ST_OVERFLOW_S re-run."""
+    import numpy as np
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import align_pairs, _oracle_one
+
+    rng = np.random.default_rng(123)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    base = alpha[rng.integers(0, 4, 150)].tobytes()
+    pats = [base, base]
+    txts = [base[:60] + base[100:],  # 40-base deletion
+            base]                     # trivial pair alongside
+    attr = WavefrontAligner(backend="numpy", distance="affine2p",
+                            span="end-to-end")._attributes()
+    res = align_pairs(attr, pats, txts)
+    for i in range(2):
+        o = _oracle_one(attr, pats[i], txts[i], None)
+        assert (res[i].status, res[i].score, res[i].ops) == \
+            (o.status, o.score, o.ops), i
+    assert "40D" in res[0].cigarstring
