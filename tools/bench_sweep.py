@@ -3,8 +3,9 @@
 Grid: divergence {2%, 5%, 10%} x length {150, 1k, 10k} x scope
 {full, score}, measured END-TO-END through align_pairs (host encode +
 device pipeline + host CIGAR assembly + escalation-ladder re-runs all
-included), plus the pipelined align_pairs_stream number for the headline
-shape. Unlike bench.py (which isolates the device pipeline), these
+included), plus heuristic-on long-read rows (10kb x wfadaptive/X-drop,
+the realistic operating point) and the pipelined align_pairs_stream
+number for the headline shape. Unlike bench.py (which isolates the device pipeline), these
 numbers charge every host-side and escalation cost to the config that
 incurs it -- the escalation ladder's real price at high divergence is
 the point of the artifact (VERDICT r2 item 6).
