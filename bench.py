@@ -80,7 +80,8 @@ def main():
     # measure the tunnel, not the chip).
     from pywfa_tpu.batch import pack_tokens
     fused2 = jnp.asarray(np.concatenate(
-        [pack_tokens(pat_np, plens_np), pack_tokens(txt_np, tlens_np)],
+        [pack_tokens(pat_np, plens_np, width=cfg.Lp),
+         pack_tokens(txt_np, tlens_np, width=cfg.Lt)],
         axis=1))
     # same routing predicate as production (batch._run_engine)
     TB = BT.pallas_plan(cfg, frees_np)

@@ -217,13 +217,15 @@ def _native_fill(cfg, clean_idx, pat_np, txt_np, plens, tlens, end_k,
     if res is None:
         return {}
     out, out_lens = res
-    # rows are already ASCII (translated in C); one tobytes for the whole
-    # matrix, then slice per-pair strings out of the flat buffer (a
-    # per-row numpy fancy-index loop costs ~8 ms at B=4096)
-    flat = out.tobytes()
+    # rows are already ASCII (translated in C); ONE decode of the whole
+    # matrix, then per-pair str slices (per-row numpy fancy-indexing or
+    # per-row bytes.decode cost several ms at B=4096). latin-1: a 1:1
+    # byte map -- identical to ascii on the valid slices, but tolerant of
+    # the uninitialized tail bytes of skipped (lens<0) rows
+    flat = out.tobytes().decode("latin-1")
     cap = out.shape[1]
     lens = out_lens.tolist()
-    return {int(b): flat[i * cap: i * cap + lens[i]].decode("ascii")
+    return {int(b): flat[i * cap: i * cap + lens[i]]
             for i, b in enumerate(idx) if lens[i] >= 0}
 
 
@@ -278,21 +280,29 @@ for _i, _b in enumerate(b"ACGT"):
     _STRICT_ACGT[_b] = _i
 
 
-def pack_tokens(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
-    """Token matrix [B, W] int8 -> fused 2-bit rows [B, ceil(W/4)] uint8.
+def pack_tokens(mat: np.ndarray, lens: np.ndarray,
+                width: Optional[int] = None) -> Optional[np.ndarray]:
+    """Token matrix [B, W] int8 -> fused 2-bit rows [B, ceil(width/4)]
+    uint8 covering the leading `width` columns (default: all of them).
+    Pass width=cfg.Lp/Lt to skip the extend_chunk tail -- every length
+    is <= width there, and engine._decode_packed regenerates the
+    sentinel tail on device, so those bytes never need to cross the
+    host->device link (engine.packed_widths).
 
     Returns None when any in-length byte is not uppercase ACGT (the packed
     push must round-trip byte-exactly through engine._decode_packed).
     """
+    if width is None or width > mat.shape[1]:
+        width = mat.shape[1]
     from . import native
     if native.lib() is not None:
-        return native.pack2_batch(mat, lens)  # None <=> non-ACGT input
-    codes = _STRICT_ACGT[mat.view(np.uint8)]
-    valid = np.arange(mat.shape[1])[None, :] < lens[:, None]
+        return native.pack2_batch(mat, lens, width)  # None <=> non-ACGT
+    codes = _STRICT_ACGT[mat.view(np.uint8)[:, :width]]
+    valid = np.arange(width)[None, :] < lens[:, None]
     codes = np.where(valid, codes, np.uint8(0))
     if codes.max() == 255:  # non-ACGT byte inside a sequence
         return None
-    padw = (-mat.shape[1]) % 4
+    padw = (-width) % 4
     if padw:
         codes = np.pad(codes, ((0, 0), (0, padw)))
     c = codes.reshape(mat.shape[0], -1, 4)  # 2-bit codes: u8 ops suffice
@@ -316,11 +326,11 @@ def _encode_side(seqs, L, chunk, sentinel, lens):
     from . import native
     if native.lib() is not None:
         r = native.encode_pack_batch(b"".join(seqs), lens, L + chunk,
-                                     sentinel)
+                                     sentinel, pack_width=L)
         if r is not None:
             return r
     mat = encode_batch(seqs, L, chunk, sentinel, lens=lens)
-    return mat, pack_tokens(mat, np.asarray(lens))
+    return mat, pack_tokens(mat, np.asarray(lens), width=L)
 
 
 def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
@@ -350,9 +360,9 @@ def _run_engine(cfg, pat_np, txt_np, plen, tlen, frees, max_steps, frees_np,
     if tlens_np is None:
         tlens_np = np.asarray(tlen)
     if pp is None:
-        pp = pack_tokens(pat_np, plens_np)
+        pp = pack_tokens(pat_np, plens_np, width=cfg.Lp)
     if pt is None and pp is not None:
-        pt = pack_tokens(txt_np, tlens_np)
+        pt = pack_tokens(txt_np, tlens_np, width=cfg.Lt)
     if not eligible:
         if pp is not None and pt is not None:
             fused2 = np.concatenate([pp, pt], axis=1)
@@ -532,21 +542,54 @@ LCP_TABLE_BYTES_CAP_REMAT = int(os.environ.get("PYWFA_REMAT_LCP_BYTES",
 # watchdog; on slower parts also lower PYWFA_PROGRAM_BUDGET_S
 _STEP_MODEL_SAFETY = float(os.environ.get("PYWFA_STEP_MODEL_SAFETY", 2.0))
 
+# measured per-LANE-step seconds by extension-mode class, fed back from
+# the timed segments of every segmented run (_record_step_time): after
+# the first segmented program on a given part, sizing is
+# measurement-driven (the reference's probe/limit machinery is likewise
+# measurement-driven, wavefront_unialign.c:98-143) and the v5e prior
+# below only covers the very first program
+_STEP_CAL: dict = {}
+
+
+def _step_mode_key(cfg):
+    mode = E._extend_mode(cfg, cfg.Lt + cfg.extend_chunk)
+    return (mode, mode == "table" and (cfg.Lt + cfg.extend_chunk) > 2048)
+
+
+def _record_step_time(cfg, B: int, steps: int, wall_s: float) -> None:
+    """Feed one executed segment's (steps, wall seconds) back into the
+    per-step model. Upward moves apply immediately (watchdog safety);
+    downward ones are smoothed (a single fast outlier must not produce
+    oversized follow-up programs)."""
+    if steps <= 0 or wall_s <= 0.0:
+        return
+    per = wall_s / (steps * B * cfg.W)
+    key = _step_mode_key(cfg)
+    prev = _STEP_CAL.get(key)
+    if prev is None or per > prev:
+        _STEP_CAL[key] = per
+    else:
+        _STEP_CAL[key] = 0.7 * prev + 0.3 * per
+
 
 def _est_step_seconds(cfg, B: int) -> float:
-    """Rough per-score-step device-time model, for bounding program wall
-    time (conservative; only large shapes matter). Measured v5e: chunked
-    extension ~400 ns/lane-step, W-major LCP gather ~16 ns, h-major
-    one-hot modes far below either; _STEP_MODEL_SAFETY covers other
-    generations."""
+    """Per-score-step device-time estimate for bounding program wall time
+    (conservative; only large shapes matter). Calibrated at runtime from
+    segmented-run timings when available (_record_step_time); until then,
+    the v5e-measured prior: chunked extension ~400 ns/lane-step, W-major
+    LCP gather ~16 ns, h-major one-hot modes far below either.
+    _STEP_MODEL_SAFETY covers the prior's generation risk."""
     lanes = B * cfg.W
-    mode = E._extend_mode(cfg, cfg.Lt + cfg.extend_chunk)
-    if mode == "chunk":
-        per = 500e-9
-    elif mode == "table" and (cfg.Lt + cfg.extend_chunk) > 2048:
-        per = 30e-9
-    else:
-        per = 5e-9
+    key = _step_mode_key(cfg)
+    per = _STEP_CAL.get(key)
+    if per is None:
+        mode, big_table = key
+        if mode == "chunk":
+            per = 500e-9
+        elif big_table:
+            per = 30e-9
+        else:
+            per = 5e-9
     return lanes * per * _STEP_MODEL_SAFETY
 
 
@@ -667,8 +710,21 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
                                           max_steps, st)
     max_segments = (S_total + K - 2) // (K - 1) + 1
     snaps_bytes = 0
-    for _ in range(max_segments):
-        status = np.asarray(out["status"])
+    seg_i = 0
+    t_seg = 0.0
+    s_prev = 0
+    for seg_i in range(max_segments):
+        status = np.asarray(out["status"])  # sync: segment finished
+        # runtime calibration of the per-step model: time each segment's
+        # enqueue->sync span against the steps it executed. The first two
+        # spans compile align_batch_start/align_batch_resume and are
+        # skipped; RPC latency inflates the rest slightly, which only
+        # errs conservative (smaller follow-up programs).
+        s_now = int(np.asarray(state["s"]))
+        if seg_i >= 2:
+            _record_step_time(cfg, B, s_now - s_prev,
+                              time.perf_counter() - t_seg)
+        s_prev = s_now
         if not (status == E.ST_OVERFLOW_S).any():
             break
         snap = {k: np.asarray(v) for k, v in state.items()}
@@ -676,10 +732,10 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         snaps_bytes += sum(a.nbytes for a in snap.values())
         # in-flight progress (verbose>=3 every probe_interval_global steps,
         # verbose>=4 every segment; reference: wavefront_unialign.c:110-112)
-        s_now = int(snap["s"])
         if verbose >= 4 or (verbose >= 3 and s_now >= next_probe):
             next_probe = (s_now // probe + 1) * probe
             _print_progress(cfg, B, s_now, snap, snaps_bytes)
+        t_seg = time.perf_counter()
         out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
                                           max_steps, state)
     n_segments = len(snaps) + 1
@@ -1088,63 +1144,64 @@ def align_pairs(attr: AlignerAttributes, patterns: Sequence[bytes],
 
 
 def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
-                       depth: int = 3, workers: int = 2, **kw):
+                       depth: int = 3, workers: int = 1, **kw):
     """Pipelined batch alignment: yields one List[BatchResult] per input
     batch, keeping up to `depth` batches in flight so host CIGAR assembly
     of batch N overlaps device compute + transfers of batches N+1..N+depth
     (the tunneled-TPU RPC latency hides entirely).
 
-    `workers` > 0 additionally runs the CPU finish stage (native
-    match-fill + result assembly + escalation re-runs) on a thread pool,
-    overlapping it with the dispatch stage's encode/pack work -- most of
-    both stages is numpy/native/jax code that releases the GIL. The
-    device pull itself stays on the CALLING thread, in dispatch order,
-    `depth` batches behind the dispatch front: by then the async copy
-    started at dispatch has completed and the pull is ~free, where a
-    worker pulling early pays the tunnel's ~23 ms synchronous-RPC path.
-    Results still come back in input order. `workers=0` runs everything
-    on the caller's thread.
+    `workers` > 0 runs the device PULL on one helper thread so the wait
+    for a not-yet-ready result (device completion + transfer RPC on
+    tunneled links) overlaps the caller's host work; the wait releases
+    the GIL, so this costs no CPU. The CPU-heavy finish stage (native
+    match-fill, result assembly, escalation re-runs) stays on the
+    CALLING thread: profiled on the 2-core TPU-dev host, worker threads
+    doing real CPU work fight the dispatch stage for cores and run the
+    pipeline ~2x SLOWER (PROFILE_r05.json), so only the blocking wait is
+    offloaded. Results come back in input order. `workers=0` runs
+    everything on the caller's thread.
+
+    While iterating, the cyclic garbage collector is suspended (restored
+    on exit): each batch allocates thousands of short-lived result
+    objects, and the periodic full gen-2 collection they trigger scans
+    every live object -- a measured ~100 ms pause every ~12 batches at
+    the headline shape, ~30% of stream wall time. Everything here is
+    acyclic and freed promptly by refcounting. Set PYWFA_STREAM_GC=1 to
+    keep the collector running (e.g. if the consuming loop builds cyclic
+    structures).
 
     Each input item is (patterns, texts) or (patterns, texts, kwargs) --
     the per-batch kwargs (e.g. bucketed Lp/Lt) override the stream-level
     **kw for that dispatch.
     """
     import collections
+    import gc
     pending = collections.deque()
-    if workers <= 0:
-        for item in batches:
-            patterns, texts = item[0], item[1]
-            bkw = dict(kw, **item[2]) if len(item) > 2 else kw
-            pending.append(align_pairs_dispatch(attr, patterns, texts,
-                                                wildcard, **bkw))
-            if len(pending) > depth:
-                yield align_pairs_finish(pending.popleft())
-        while pending:
-            yield align_pairs_finish(pending.popleft())
-        return
-    from concurrent.futures import ThreadPoolExecutor
-    ex = ThreadPoolExecutor(max_workers=workers)
-    futs = collections.deque()
+    gc_off = (gc.isenabled()
+              and os.environ.get("PYWFA_STREAM_GC", "") in ("", "0"))
+    ex = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+    if gc_off:
+        gc.disable()
     try:
         for item in batches:
             patterns, texts = item[0], item[1]
             bkw = dict(kw, **item[2]) if len(item) > 2 else kw
-            pending.append(align_pairs_dispatch(attr, patterns, texts,
-                                                wildcard, **bkw))
+            h = align_pairs_dispatch(attr, patterns, texts, wildcard, **bkw)
+            pending.append(ex.submit(align_pairs_pull, h) if ex else h)
             if len(pending) > depth:
-                futs.append(ex.submit(align_pairs_finish,
-                                      align_pairs_pull(pending.popleft())))
-            # yield whatever is done; bound the finish backlog so slow
-            # assembly applies backpressure instead of queueing unboundedly
-            while futs and (futs[0].done() or len(futs) > workers + 2):
-                yield futs.popleft().result()
+                head = pending.popleft()
+                yield align_pairs_finish(head.result() if ex else head)
         while pending:
-            futs.append(ex.submit(align_pairs_finish,
-                                  align_pairs_pull(pending.popleft())))
-        while futs:
-            yield futs.popleft().result()
+            head = pending.popleft()
+            yield align_pairs_finish(head.result() if ex else head)
     finally:
-        ex.shutdown(wait=True)
+        if ex is not None:
+            ex.shutdown(wait=True)
+        if gc_off:
+            gc.enable()
 
 
 def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
@@ -1170,8 +1227,10 @@ def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],
     if B != B0:
         patterns = list(patterns) + [b"A"] * (B - B0)
         texts = list(texts) + [b"A"] * (B - B0)
-    plens = np.array([len(p) for p in patterns], dtype=np.int32)
-    tlens = np.array([len(t) for t in texts], dtype=np.int32)
+    # fromiter(map(len,...)) is ~5x cheaper than np.array(listcomp) at
+    # B=4096 (~1.2 ms/batch saved across both sides)
+    plens = np.fromiter(map(len, patterns), dtype=np.int32, count=B)
+    tlens = np.fromiter(map(len, texts), dtype=np.int32, count=B)
     maxLp = int(plens.max()) if B else 0
     maxLt = int(tlens.max()) if B else 0
     # batch semantics: ends-free slack is clamped per pair (the reference
@@ -1418,6 +1477,22 @@ def align_pairs_finish(h: _Inflight) -> List[BatchResult]:
 
     extension = attr0.form.extension
     end_off_l = end_off.tolist() if scope_full else eh_l
+
+    # fast path for the overwhelmingly common batch: every pair completed
+    # cleanly and the native fill produced every CIGAR -- build results in
+    # one comprehension (the general per-pair branch chain below costs
+    # ~2x more at B=4096, a measurable slice of a pipelined stream batch)
+    if (scope_full and not extension and len(native_ops) == B
+            and bool(clean_np.all())):
+        ST = STATUS_ALG_COMPLETED
+        ops_get = native_ops.__getitem__
+        results = [BatchResult(ST, sc, ops_get(b), ev, eh, s, False)
+                   for b, sc, ev, eh, s in
+                   zip(range(B), sc_a, ev_l, eh_l, final_s_l)]
+        if _PROF:
+            _prof_add("f.assemble", t0)
+        return results[:h.B0]
+
     for b in range(B):
         st = status_l[b]
         if st == E.ST_END_REACHED and (not scope_full):

@@ -140,10 +140,14 @@ def rle(ops: np.ndarray):
 
 
 def encode_pack_batch(flat: bytes, lens: np.ndarray, stride: int,
-                      sentinel: int, pack: bool = True):
+                      sentinel: int, pack: bool = True,
+                      pack_width: int = 0):
     """Fused encode + 2-bit pack of concatenated sequences.
 
-    Returns (tokens [B, stride] int8, packed [B, ceil(stride/4)] uint8 or
+    pack_width > 0 packs only the leading pack_width columns (lens must
+    all be <= pack_width); 0 packs the full stride.
+
+    Returns (tokens [B, stride] int8, packed [B, ceil(width/4)] uint8 or
     None when pack failed/disabled), or None when the lib is unavailable.
     """
     L = lib()
@@ -152,7 +156,8 @@ def encode_pack_batch(flat: bytes, lens: np.ndarray, stride: int,
     B = len(lens)
     lens64 = np.ascontiguousarray(lens, dtype=np.int64)
     tokens = np.empty((B, stride), dtype=np.uint8)
-    Wout = -(-stride // 4) if pack else 0
+    width = min(pack_width, stride) if pack_width > 0 else stride
+    Wout = -(-width // 4) if pack else 0
     packed = np.empty((B, max(Wout, 1)), dtype=np.uint8)
     flat_a = np.frombuffer(flat, dtype=np.uint8)
     rc = L.wfa_encode_pack_batch(
@@ -162,17 +167,19 @@ def encode_pack_batch(flat: bytes, lens: np.ndarray, stride: int,
     return tokens.view(np.int8), (packed if (pack and rc == 0) else None)
 
 
-def pack2_batch(mat: np.ndarray, lens: np.ndarray) -> Optional[np.ndarray]:
-    """Fused 2-bit pack of a [B, Wm] int8/uint8 token matrix.
+def pack2_batch(mat: np.ndarray, lens: np.ndarray,
+                width: Optional[int] = None) -> Optional[np.ndarray]:
+    """Fused 2-bit pack of a [B, Wm] int8/uint8 token matrix (leading
+    `width` columns; lens must be <= width).
 
-    Returns [B, ceil(Wm/4)] uint8, or None when the lib is unavailable OR
-    any in-length byte is not uppercase ACGT (caller falls back).
+    Returns [B, ceil(width/4)] uint8, or None when the lib is unavailable
+    OR any in-length byte is not uppercase ACGT (caller falls back).
     """
     L = lib()
     if L is None:
         return None
     B, Wm = mat.shape
-    Wout = -(-Wm // 4)
+    Wout = -(-(min(width, Wm) if width is not None else Wm) // 4)
     out = np.empty((B, Wout), dtype=np.uint8)
     rc = L.wfa_pack2_batch(
         _ptr(mat.view(np.uint8), ctypes.c_uint8), B, Wm,

@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include <thread>
+
 namespace {
 
 // walk op stream encoding (must match pywfa_tpu/ops/engine.py WOP_*)
@@ -34,6 +36,24 @@ inline bool chars_match(uint8_t a, uint8_t b, int wildcard) {
          b == static_cast<uint8_t>(wildcard)))
         return true;
     return false;
+}
+
+// Length of the common prefix of a[0..n) and b[0..n), word-at-a-time:
+// XOR 8 bytes, count trailing zero bytes of the first nonzero word (the
+// same blockwise-compare idea as the reference's AVX extend kernels,
+// wavefront_extend_kernels.c:64-88, expressed portably).
+inline int64_t common_prefix(const uint8_t* a, const uint8_t* b, int64_t n) {
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t wa, wb;
+        memcpy(&wa, a + i, 8);
+        memcpy(&wb, b + i, 8);
+        const uint64_t x = wa ^ wb;
+        if (x) return i + (__builtin_ctzll(x) >> 3);
+    }
+    for (; i < n; ++i)
+        if (a[i] != b[i]) break;
+    return i;
 }
 
 }  // namespace
@@ -78,8 +98,12 @@ int64_t wfa_encode_pack_batch(
         if (Wout > 0 && rc == 0) {
             uint8_t* orow = out_packed + b * Wout;
             uint8_t acc = 0;
+            // Wout may cover less than the token stride (the caller
+            // skips the chunk tail); clamp so a too-long row can't
+            // write past its packed row
+            const int64_t np = n < 4 * Wout ? n : 4 * Wout;
             int64_t j = 0;
-            for (; j < n; ++j) {
+            for (; j < np; ++j) {
                 const uint8_t c = code[src[j]];
                 if (c == 255) {
                     rc = 1;
@@ -139,13 +163,21 @@ int64_t wfa_match_fill(
             }
             return true;
         }
-        while (v < plen && h < tlen &&
-               chars_match(pattern[v], text[h], wildcard)) {
-            if (n >= out_cap) return false;
-            out[n++] = OP_M;
-            ++v;
-            ++h;
+        const int64_t lim = plen - v < tlen - h ? plen - v : tlen - h;
+        int64_t run;
+        if (wildcard < 0) {
+            run = common_prefix(pattern + v, text + h, lim);
+        } else {
+            for (run = 0; run < lim &&
+                          chars_match(pattern[v + run], text[h + run],
+                                      wildcard);
+                 ++run) {}
         }
+        if (n + run > out_cap) return false;
+        memset(out + n, OP_M, run);
+        n += run;
+        v += run;
+        h += run;
         return true;
     };
 
@@ -210,21 +242,43 @@ void wfa_match_fill_batch(
     ascii[OP_I] = 'I';
     ascii[OP_D] = 'D';
     ascii[OP_X] = 'X';
-    for (int64_t b = 0; b < B; ++b) {
-        if (n_ops[b] < 0) {
-            out_lens[b] = -1;
-            continue;
+    auto fill_range = [&](int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; ++b) {
+            if (n_ops[b] < 0) {
+                out_lens[b] = -1;
+                continue;
+            }
+            uint8_t* row = out + b * out_stride;
+            const int64_t n = wfa_match_fill(
+                ops_fwd + b * ops_stride, n_ops[b], k_start[b],
+                pat + b * pat_stride, plens[b],
+                txt + b * txt_stride, tlens[b],
+                wildcard, trail_i[b], trail_d[b], cap_h[b],
+                row, out_stride);
+            out_lens[b] = n;
+            for (int64_t i = 0; i < n; ++i) row[i] = ascii[row[i]];
         }
-        uint8_t* row = out + b * out_stride;
-        const int64_t n = wfa_match_fill(
-            ops_fwd + b * ops_stride, n_ops[b], k_start[b],
-            pat + b * pat_stride, plens[b],
-            txt + b * txt_stride, tlens[b],
-            wildcard, trail_i[b], trail_d[b], cap_h[b],
-            row, out_stride);
-        out_lens[b] = n;
-        for (int64_t i = 0; i < n; ++i) row[i] = ascii[row[i]];
+    };
+    // split across hardware threads (the ctypes caller released the GIL,
+    // so these run alongside the Python host pipeline); small batches
+    // aren't worth the spawn cost
+    unsigned hw = std::thread::hardware_concurrency();
+    const int64_t nthreads =
+        (B >= 512 && hw >= 2) ? (hw < 4 ? hw : 4) : 1;
+    if (nthreads == 1) {
+        fill_range(0, B);
+        return;
     }
+    std::thread workers[4];
+    const int64_t step = (B + nthreads - 1) / nthreads;
+    for (int64_t t = 1; t < nthreads; ++t) {
+        const int64_t b0 = t * step;
+        const int64_t b1 = b0 + step < B ? b0 + step : B;
+        if (b0 < b1) workers[t] = std::thread(fill_range, b0, b1);
+    }
+    fill_range(0, step < B ? step : B);
+    for (int64_t t = 1; t < nthreads; ++t)
+        if (workers[t].joinable()) workers[t].join();
 }
 
 // Pack a [B, Wm] token matrix into fused 2-bit rows [B, ceil(Wm/4)]
@@ -242,7 +296,8 @@ int64_t wfa_pack2_batch(const uint8_t* mat, int64_t B, int64_t Wm,
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* row = mat + b * Wm;
         uint8_t* orow = out + b * Wout;
-        const int64_t n = lens[b] < Wm ? lens[b] : Wm;
+        int64_t n = lens[b] < Wm ? lens[b] : Wm;
+        if (n > 4 * Wout) n = 4 * Wout;  // caller packs a prefix only
         uint8_t acc = 0;
         int64_t j = 0;
         for (; j < n; ++j) {

@@ -1517,9 +1517,14 @@ def fused_widths(cfg) -> Tuple[int, int]:
 
 
 def packed_widths(cfg) -> Tuple[int, int]:
-    """Byte-row widths (pattern, text) of the 2-bit-packed input layout."""
-    wp, wt = fused_widths(cfg)
-    return -(-wp // 4), -(-wt // 4)
+    """Byte-row widths (pattern, text) of the 2-bit-packed input layout.
+
+    Only the [0, Lp)/[0, Lt) base region is pushed: every position past a
+    pair's length decodes to the sentinel anyway (_decode_packed masks on
+    the length), so the extend_chunk tail would be dead wire bytes --
+    ~30% of the push on the tunneled host->TPU link at the 150bp shape.
+    """
+    return -(-cfg.Lp // 4), -(-cfg.Lt // 4)
 
 
 def _decode_fused(cfg, fused):
@@ -1554,7 +1559,14 @@ def _decode_packed(cfg, packed, plen, tlen):
         B = block.shape[0]
         b32 = block.astype(jnp.int32)[:, :, None]
         codes = (b32 >> (2 * jnp.arange(4, dtype=jnp.int32))) & 3
-        codes = codes.reshape(B, -1)[:, :width]
+        codes = codes.reshape(B, -1)
+        if codes.shape[1] < width:
+            # pushed bytes cover only the base region (packed_widths);
+            # the extend_chunk tail is always past every length and the
+            # mask below sentinel-fills it, so pad with anything
+            codes = jnp.pad(codes, ((0, 0), (0, width - codes.shape[1])))
+        else:
+            codes = codes[:, :width]
         # arithmetic 4-way select beats a gather on the VPU
         tok = jnp.where(
             codes == 0, ord("A"),

@@ -1,6 +1,8 @@
 """Long-read path: escalation ladder + engine/oracle agreement at kb scale."""
 import random
 
+import pytest
+
 from pywfa_tpu.align import WavefrontAligner
 from pywfa_tpu.batch import align_pairs
 from pywfa_tpu.oracle import OracleAligner
@@ -48,6 +50,27 @@ def test_1kb_heuristic_adaptive():
     assert res.cigartuples == res2.cigartuples
 
 
+def test_4kb_remat_smoke(monkeypatch):
+    """Fast smoke twin of the 10/20 kb remat tests (default tier): a 4kb
+    pair with budgets forced far down so the remat machinery engages
+    (multiple segments, snapshots, on-device replay walks), byte-equal to
+    the oracle."""
+    import pywfa_tpu.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 2 * 2**20)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 8 * 2**20)
+    rng = random.Random(777)
+    p, t = _ont_pair(rng, 4000, sub=0.03, ind=0.02)
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    res = align_pairs(attr, [p.encode()], [t.encode()])[0]
+    o = OracleAligner(attr).align(p.encode(), t.encode())
+    assert (res.status, res.score) == (o.status, o.score)
+    assert res.ops == o.ops
+    check_alignment(res.ops, p, t, attr.penalties,
+                    end_v=len(p), end_h=len(t))
+
+
+@pytest.mark.slow
 def test_10kb_remat_matches_oracle(monkeypatch):
     """10kb ONT-style pairs through the rematerialized segmented path:
     byte-equal to the oracle with bounded device + host memory (VERDICT r2
@@ -72,6 +95,7 @@ def test_10kb_remat_matches_oracle(monkeypatch):
                         end_v=len(bp[i]), end_h=len(bt[i]))
 
 
+@pytest.mark.slow
 def test_20kb_remat_matches_oracle(monkeypatch):
     """20kb single pair, same bounded-memory path."""
     import pywfa_tpu.batch as batch_mod
@@ -79,6 +103,26 @@ def test_20kb_remat_matches_oracle(monkeypatch):
     monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 32 * 2**20)
     rng = random.Random(321)
     p, t = _ont_pair(rng, 20000, sub=0.03, ind=0.02)
+    api = WavefrontAligner(backend="numpy", span="end-to-end")
+    attr = api._attributes()
+    res = align_pairs(attr, [p.encode()], [t.encode()])[0]
+    o = OracleAligner(attr).align(p.encode(), t.encode())
+    assert (res.status, res.score) == (o.status, o.score)
+    assert res.ops == o.ops
+
+
+@pytest.mark.slow
+def test_50kb_remat_matches_oracle(monkeypatch):
+    """50kb single pair through the segmented executor (the regime BiWFA's
+    O(s) memory exists for, reference: wavefront_bialign.c:48-50): the
+    tested anchor for PARITY.md's 50 kb claim (VERDICT r4 item 4). Low
+    divergence keeps the oracle's scalar run tractable; budgets forced
+    down so segmentation engages."""
+    import pywfa_tpu.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "CHOICES_BYTES_CAP", 8 * 2**20)
+    monkeypatch.setattr(batch_mod, "REPLAY_CHOICES_BYTES", 64 * 2**20)
+    rng = random.Random(555)
+    p, t = _ont_pair(rng, 50000, sub=0.01, ind=0.01)
     api = WavefrontAligner(backend="numpy", span="end-to-end")
     attr = api._attributes()
     res = align_pairs(attr, [p.encode()], [t.encode()])[0]

@@ -127,12 +127,7 @@ def test_extension_mode_native(no_oracle):
     assert n_partial >= 2  # trims must actually occur
 
 
-def test_drop_corpus_10k_zero_fallback(no_oracle):
-    """>=10k pairs across the pruning-x-drop strategy grid complete with
-    ZERO oracle fallbacks (VERDICT r3 item 4 done-criterion: the
-    mid-walk dead-end tail is pinned at zero; a regression that sends
-    drops back to the host oracle fails loudly here)."""
-    configs = [
+_DROP_GRID = [
         HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=15,
                         steps_between_cutoffs=1),
         HeuristicParams(strategy=HeuristicStrategy.XDROP, xdrop=15,
@@ -150,20 +145,40 @@ def test_drop_corpus_10k_zero_fallback(no_oracle):
                         min_wavefront_length=5, max_distance_threshold=20,
                         xdrop=10, steps_between_cutoffs=1),
     ]
+
+
+def _run_drop_grid(per_config: int):
+    """Pairs across the pruning-x-drop strategy grid must complete with
+    ZERO oracle fallbacks (VERDICT r3 item 4 done-criterion: the mid-walk
+    dead-end tail is pinned at zero; a regression that sends drops back to
+    the host oracle fails loudly via the no_oracle fixture)."""
     total = 0
     n_dropped = 0
-    for ci, h in enumerate(configs):
+    for ci, h in enumerate(_DROP_GRID):
         attr = _attr(h, distance=("affine2p" if ci % 2 else "affine"))
-        pairs = _pairs(100 + ci, 2048, sub=0.25, ind=0.08, unrelated=0.25,
-                       lo=50, hi=170)
+        pairs = _pairs(100 + ci, per_config, sub=0.25, ind=0.08,
+                       unrelated=0.25, lo=50, hi=170)
         res = B.align_pairs(attr, [p for p, _ in pairs],
                             [t for _, t in pairs])
         total += len(res)
         n_dropped += sum(r.dropped for r in res)
         assert all(r.status in (0, 1) for r in res)
-    assert total >= 10_000
     # the corpus must actually exercise the drop paths, heavily
     assert n_dropped > total // 4, n_dropped
+    return total
+
+
+def test_drop_corpus_1k_zero_fallback(no_oracle):
+    """Fast smoke twin of the 10k corpus: same strategy grid, 256
+    pairs/config, zero oracle fallbacks (in the default test tier)."""
+    assert _run_drop_grid(256) >= 1_000
+
+
+@pytest.mark.slow
+def test_drop_corpus_10k_zero_fallback(no_oracle):
+    """Full 10k-pair corpus (slow tier; the 1k smoke above pins the same
+    invariant per-commit)."""
+    assert _run_drop_grid(2048) >= 10_000
 
 
 def test_zdrop_big_batch_no_fallback(no_oracle):

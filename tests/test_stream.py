@@ -69,8 +69,10 @@ def test_pack_tokens_roundtrip_through_engine():
     tlens = np.array([len(t) for t in txts], dtype=np.int32)
     pat_np = BT.encode_batch(pats, cfg.Lp, C, BT.PATTERN_SENTINEL)
     txt_np = BT.encode_batch(txts, cfg.Lt, C, BT.TEXT_SENTINEL)
-    pp = BT.pack_tokens(pat_np, plens)
-    pt = BT.pack_tokens(txt_np, tlens)
+    # production packs only the base region (engine.packed_widths skips
+    # the extend_chunk tail; the device regenerates it as sentinel)
+    pp = BT.pack_tokens(pat_np, plens, width=cfg.Lp)
+    pt = BT.pack_tokens(txt_np, tlens, width=cfg.Lt)
     assert pp is not None and pt is not None
     dec_p, dec_t = E._decode_packed(
         cfg, jnp.asarray(np.concatenate([pp, pt], axis=1)),
