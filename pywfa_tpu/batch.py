@@ -1381,12 +1381,17 @@ def align_pairs_pull(h: _Inflight) -> _Inflight:
     for a result that is not ready yet. Idempotent; finish() pulls itself
     if this was never called."""
     if h.results is None:
+        t0 = time.perf_counter() if _PROF else 0.0
         if h.packed_d is not None:
             h.packed_np = np.asarray(h.packed_d)
             h.packed_d = None
         elif h.meta_d is not None:
             h.meta_np = np.asarray(h.meta_d)
             h.meta_d = None
+        if _PROF:
+            # on the puller thread this wait overlaps the caller's host
+            # work (off the critical path); recorded for the profile
+            _prof_add("p.pull_wait", t0)
     return h
 
 

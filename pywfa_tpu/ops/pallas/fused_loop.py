@@ -19,11 +19,16 @@ state resident in VMEM:
 - each tile exits its loop as soon as its own pairs finish (the XLA
   while_loop runs to the global max).
 
-Covers the production hot paths: gap-affine and affine2p penalties,
-end-to-end and ends-free spans, full-CIGAR recording, strategy none /
-wfadaptive / xdrop / zdrop (and wfadaptive|drop combos). Other metrics and
-heuristics use the XLA engine (identical results either way -- enforced by
-tests).
+Covers every distance metric: gap-affine and affine2p (3/5-component
+rings), and the 1-component gap-linear / edit / indel recurrences
+(reference: wavefront_compute_linear.c:44-86, wavefront_compute_edit.c:
+330-374); end-to-end and ends-free spans (plus match!=0 on end-to-end --
+the Eizenga-internal recurrence is match-0 there, only the drop
+heuristics' swg_match constant differs); full-CIGAR recording; strategy
+none / wfadaptive / xdrop / zdrop (and wfadaptive|drop combos).
+Remaining XLA-only routes: ends-free with match!=0 (per-score boundary
+seeding, engine._endsfree_seed), wfmash/banded strategies, and
+class-mask matching (identical results either way -- enforced by tests).
 """
 from __future__ import annotations
 
@@ -57,11 +62,18 @@ _KERNEL_STRATEGIES = int(HeuristicStrategy.WFADAPTIVE
                          | HeuristicStrategy.ZDROP)
 
 
+_ONE_COMP = (DistanceMetric.GAP_LINEAR, DistanceMetric.EDIT,
+             DistanceMetric.INDEL)
+
+
 def supported(cfg) -> bool:
-    return (cfg.metric in (DistanceMetric.GAP_AFFINE,
-                           DistanceMetric.GAP_AFFINE_2P)
-            and (cfg.strategy & ~_KERNEL_STRATEGIES) == 0
-            and cfg.match == 0
+    return ((cfg.strategy & ~_KERNEL_STRATEGIES) == 0
+            # match != 0 only changes WF0/per-score seeding in ENDS_FREE
+            # spans (engine._endsfree_seed) and the drop heuristics'
+            # swg_match constant (handled in-kernel); END_TO_END
+            # wavefronts are identical to the match-0 run over the
+            # Eizenga-internal penalties the config already carries
+            and (cfg.match == 0 or cfg.span == AlignmentSpan.END_TO_END)
             and cfg.use_lcp_table
             # the choices HBM-stream DMA slices [TB, W] out of
             # [S_cap, B, W]; Mosaic requires the lane dim 128-aligned
@@ -69,6 +81,8 @@ def supported(cfg) -> bool:
 
 
 def n_comp(cfg) -> int:
+    if cfg.metric in _ONE_COMP:
+        return 1
     return 5 if cfg.metric == DistanceMetric.GAP_AFFINE_2P else 3
 
 
@@ -110,6 +124,8 @@ def routed_tile(cfg):
     """
     if not supported(cfg):
         return None
+    if cfg.metric in _ONE_COMP:
+        return None  # placeholder: measured routing filled in below
     if cfg.strategy:
         return 64
     if cfg.metric == DistanceMetric.GAP_AFFINE_2P:
@@ -162,6 +178,11 @@ def _kernel(cfg, TB,
     o2e2 = cfg.gap_opening2 + cfg.gap_extension2
     e2 = cfg.gap_extension2
     affine2p = cfg.metric == DistanceMetric.GAP_AFFINE_2P
+    edit_like = cfg.metric in (DistanceMetric.EDIT, DistanceMetric.INDEL)
+    linear = cfg.metric == DistanceMetric.GAP_LINEAR
+    one_comp = edit_like or linear
+    # SW score units for the drop heuristics (engine._heuristic_cutoff)
+    swg_match = -cfg.match if cfg.match != 0 else 1
     NC = n_comp(cfg)
     wfadaptive = bool(cfg.strategy & HeuristicStrategy.WFADAPTIVE)
     xdrop = bool(cfg.strategy & HeuristicStrategy.XDROP)
@@ -365,7 +386,7 @@ def _kernel(cfg, TB,
             do_d = eligible & (h_wait <= 0)
             dband = band_mask(cur_lo, cur_hi)
             v_d = m_off - karr
-            num = (v_d + m_off) - s  # swg_match == 1 (match == 0)
+            num = swg_match * (v_d + m_off) - s
             sw = jnp.where(num >= 0, num >> 1, -((-num) >> 1))
             validc = dband & (m_off >= 0)
             neg_big = jnp.int32(-2**30)
@@ -436,102 +457,162 @@ def _kernel(cfg, TB,
                 lohi_ref[comp * scope + slot] = jnp.concatenate([nlo, nhi],
                                                                 axis=1)
 
-        # --- compute s+1 (reference: wavefront_compute_affine.c) ---
+        # --- compute s+1 (reference: wavefront_compute_affine.c /
+        # _linear.c:44-86 / _edit.c:330-374) ---
         s1 = s + 1
         slot1 = jax.lax.rem(s1, scope)
-        mm_off, mm_lo, mm_hi, mm_null = read_wf(M, s1 - x)
-        op_off, op_lo, op_hi, op_null = read_wf(M, s1 - o1e1)
-        i1_off, i1_lo, i1_hi, i1_null = read_wf(I1, s1 - e1)
-        d1_off, d1_lo, d1_hi, d1_null = read_wf(D1, s1 - e1)
         big = jnp.int32(2**30)
 
         def lim(lo_, hi_, nul, widen):
             return (jnp.where(nul, big, lo_ - widen),
                     jnp.where(nul, -big, hi_ + widen))
 
-        l1, h1 = lim(mm_lo, mm_hi, mm_null, 0)
-        l2, h2 = lim(op_lo, op_hi, op_null, 1)
-        l3, h3 = lim(i1_lo, i1_hi, i1_null, 1)
-        l4, h4 = lim(d1_lo, d1_hi, d1_null, 1)
-        lo_n = jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
-        hi_n = jnp.maximum(jnp.maximum(h1, h2), jnp.maximum(h3, h4))
-        all_null = mm_null & op_null & i1_null & d1_null
-
-        i1o = pack(shift(op_off, -1) + 1, 0)
-        i1e = pack(shift(i1_off, -1) + 1, 1)
-        i1p = jnp.maximum(i1o, i1e)
-        ins1 = jnp.where(i1p < 0,
-                         shift(jnp.maximum(op_off, i1_off), -1) + 1, i1p >> 3)
-        i1_ext = (i1p >= 0) & ((i1p & 7) == 1)
-        d1o = pack(shift(op_off, +1), 0)
-        d1e = pack(shift(d1_off, +1), 1)
-        d1p = jnp.maximum(d1o, d1e)
-        del1 = jnp.where(d1p < 0,
-                         shift(jnp.maximum(op_off, d1_off), +1), d1p >> 3)
-        d1_ext = (d1p >= 0) & ((d1p & 7) == 1)
-        mis = mm_off + 1
-
-        if affine2p:
-            op2_off, op2_lo, op2_hi, op2_null = read_wf(M, s1 - o2e2)
-            i2_off, i2_lo, i2_hi, i2_null = read_wf(I2, s1 - e2)
-            d2_off, d2_lo, d2_hi, d2_null = read_wf(D2, s1 - e2)
-            l5, h5 = lim(op2_lo, op2_hi, op2_null, 1)
-            l6, h6 = lim(i2_lo, i2_hi, i2_null, 1)
-            l7, h7 = lim(d2_lo, d2_hi, d2_null, 1)
-            lo_n = jnp.minimum(lo_n, jnp.minimum(l5, jnp.minimum(l6, l7)))
-            hi_n = jnp.maximum(hi_n, jnp.maximum(h5, jnp.maximum(h6, h7)))
-            all_null = all_null & op2_null & i2_null & d2_null
-
-            i2o = pack(shift(op2_off, -1) + 1, 0)
-            i2e = pack(shift(i2_off, -1) + 1, 1)
-            i2p = jnp.maximum(i2o, i2e)
-            ins2 = jnp.where(i2p < 0,
-                             shift(jnp.maximum(op2_off, i2_off), -1) + 1,
-                             i2p >> 3)
-            i2_ext = (i2p >= 0) & ((i2p & 7) == 1)
-            d2o = pack(shift(op2_off, +1), 0)
-            d2e = pack(shift(d2_off, +1), 1)
-            d2p = jnp.maximum(d2o, d2e)
-            del2 = jnp.where(d2p < 0,
-                             shift(jnp.maximum(op2_off, d2_off), +1),
-                             d2p >> 3)
-            d2_ext = (d2p >= 0) & ((d2p & 7) == 1)
-            # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1)
-            pm = jnp.maximum(
-                jnp.maximum(pack(mis, 5), pack(del2, 4)),
-                jnp.maximum(pack(del1, 3),
-                            jnp.maximum(pack(ins2, 2), pack(ins1, 1))))
-            raw = jnp.maximum(jnp.maximum(mis, del2),
-                              jnp.maximum(del1, jnp.maximum(ins2, ins1)))
+        if edit_like:
+            # all three candidates read the single previous wavefront
+            # (engine._step_compute_edit byte-for-byte)
+            p_off, p_lo, p_hi, p_null = read_wf(M, s1 - 1)
+            lo_n = p_lo - 1
+            hi_n = p_hi + 1
+            all_null = p_null
+            cand_i = pack(shift(p_off, -1) + 1, 1)
+            cand_d = pack(shift(p_off, +1), 3)
+            if cfg.metric == DistanceMetric.EDIT:
+                pm = jnp.maximum(pack(p_off + 1, 5),
+                                 jnp.maximum(cand_d, cand_i))
+            else:  # INDEL: no mismatch candidate
+                pm = jnp.maximum(cand_d, cand_i)
+            raw = pm >> 3  # engine edit: null-ish, bounds-check nulls it
             pr = pm & 7
-            msrc = jnp.where(
-                pm < 0, MSRC_NONE,
-                jnp.where(pr == 5, MSRC_X,
-                          jnp.where(pr == 4, MSRC_D2,
-                                    jnp.where(pr == 3, MSRC_D1,
-                                              jnp.where(pr == 2, MSRC_I2,
-                                                        MSRC_I1)))))
-            choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
-                      | (d1_ext.astype(jnp.int32) << 4)
-                      | (i2_ext.astype(jnp.int32) << 5)
-                      | (d2_ext.astype(jnp.int32) << 6)).astype(jnp.uint8)
+            msrc = jnp.where(pr == 5, MSRC_X,
+                             jnp.where(pr == 3, MSRC_D1,
+                                       jnp.where(pr == 1, MSRC_I1,
+                                                 MSRC_NONE)))
+            choice = msrc.astype(jnp.uint8)
+        elif linear:
+            # (engine._step_compute linear branch byte-for-byte)
+            mm_off, mm_lo, mm_hi, mm_null = read_wf(M, s1 - x)
+            op_off, op_lo, op_hi, op_null = read_wf(
+                M, s1 - cfg.gap_opening1)
+            l1, h1 = lim(mm_lo, mm_hi, mm_null, 0)
+            l2, h2 = lim(op_lo, op_hi, op_null, 1)
+            lo_n = jnp.minimum(l1, l2)
+            hi_n = jnp.maximum(h1, h2)
+            all_null = mm_null & op_null
+            pm = jnp.maximum(pack(mm_off + 1, 5),
+                             jnp.maximum(pack(shift(op_off, +1), 3),
+                                         pack(shift(op_off, -1) + 1, 1)))
+            raw = jnp.where(pm < 0, jnp.int32(NULL), pm >> 3)
+            pr = pm & 7
+            msrc = jnp.where(pr == 5, MSRC_X,
+                             jnp.where(pr == 3, MSRC_D1,
+                                       jnp.where(pr == 1, MSRC_I1,
+                                                 MSRC_NONE)))
+            choice = msrc.astype(jnp.uint8)
         else:
-            pm = jnp.maximum(pack(mis, 5), jnp.maximum(pack(del1, 3),
-                                                       pack(ins1, 1)))
-            raw = jnp.maximum(mis, jnp.maximum(del1, ins1))
-            pr = pm & 7
-            msrc = jnp.where(pm < 0, MSRC_NONE,
-                             jnp.where(pr == 5, MSRC_X,
-                                       jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
-            choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
-                      | (d1_ext.astype(jnp.int32) << 4)).astype(jnp.uint8)
+            mm_off, mm_lo, mm_hi, mm_null = read_wf(M, s1 - x)
+            op_off, op_lo, op_hi, op_null = read_wf(M, s1 - o1e1)
+            i1_off, i1_lo, i1_hi, i1_null = read_wf(I1, s1 - e1)
+            d1_off, d1_lo, d1_hi, d1_null = read_wf(D1, s1 - e1)
+            l1, h1 = lim(mm_lo, mm_hi, mm_null, 0)
+            l2, h2 = lim(op_lo, op_hi, op_null, 1)
+            l3, h3 = lim(i1_lo, i1_hi, i1_null, 1)
+            l4, h4 = lim(d1_lo, d1_hi, d1_null, 1)
+            lo_n = jnp.minimum(jnp.minimum(l1, l2), jnp.minimum(l3, l4))
+            hi_n = jnp.maximum(jnp.maximum(h1, h2), jnp.maximum(h3, h4))
+            all_null = mm_null & op_null & i1_null & d1_null
 
-        nnull = jnp.where(active & all_null, nnull + 1,
-                          jnp.where(active, 0, nnull))
+        if not one_comp:
+            i1o = pack(shift(op_off, -1) + 1, 0)
+            i1e = pack(shift(i1_off, -1) + 1, 1)
+            i1p = jnp.maximum(i1o, i1e)
+            ins1 = jnp.where(i1p < 0,
+                             shift(jnp.maximum(op_off, i1_off), -1) + 1,
+                             i1p >> 3)
+            i1_ext = (i1p >= 0) & ((i1p & 7) == 1)
+            d1o = pack(shift(op_off, +1), 0)
+            d1e = pack(shift(d1_off, +1), 1)
+            d1p = jnp.maximum(d1o, d1e)
+            del1 = jnp.where(d1p < 0,
+                             shift(jnp.maximum(op_off, d1_off), +1),
+                             d1p >> 3)
+            d1_ext = (d1p >= 0) & ((d1p & 7) == 1)
+            mis = mm_off + 1
+
+            if affine2p:
+                op2_off, op2_lo, op2_hi, op2_null = read_wf(M, s1 - o2e2)
+                i2_off, i2_lo, i2_hi, i2_null = read_wf(I2, s1 - e2)
+                d2_off, d2_lo, d2_hi, d2_null = read_wf(D2, s1 - e2)
+                l5, h5 = lim(op2_lo, op2_hi, op2_null, 1)
+                l6, h6 = lim(i2_lo, i2_hi, i2_null, 1)
+                l7, h7 = lim(d2_lo, d2_hi, d2_null, 1)
+                lo_n = jnp.minimum(lo_n,
+                                   jnp.minimum(l5, jnp.minimum(l6, l7)))
+                hi_n = jnp.maximum(hi_n,
+                                   jnp.maximum(h5, jnp.maximum(h6, h7)))
+                all_null = all_null & op2_null & i2_null & d2_null
+
+                i2o = pack(shift(op2_off, -1) + 1, 0)
+                i2e = pack(shift(i2_off, -1) + 1, 1)
+                i2p = jnp.maximum(i2o, i2e)
+                ins2 = jnp.where(i2p < 0,
+                                 shift(jnp.maximum(op2_off, i2_off), -1) + 1,
+                                 i2p >> 3)
+                i2_ext = (i2p >= 0) & ((i2p & 7) == 1)
+                d2o = pack(shift(op2_off, +1), 0)
+                d2e = pack(shift(d2_off, +1), 1)
+                d2p = jnp.maximum(d2o, d2e)
+                del2 = jnp.where(d2p < 0,
+                                 shift(jnp.maximum(op2_off, d2_off), +1),
+                                 d2p >> 3)
+                d2_ext = (d2p >= 0) & ((d2p & 7) == 1)
+                # global priority X(5) > D2(4) > D1(3) > I2(2) > I1(1)
+                pm = jnp.maximum(
+                    jnp.maximum(pack(mis, 5), pack(del2, 4)),
+                    jnp.maximum(pack(del1, 3),
+                                jnp.maximum(pack(ins2, 2), pack(ins1, 1))))
+                raw = jnp.maximum(jnp.maximum(mis, del2),
+                                  jnp.maximum(del1, jnp.maximum(ins2, ins1)))
+                pr = pm & 7
+                msrc = jnp.where(
+                    pm < 0, MSRC_NONE,
+                    jnp.where(pr == 5, MSRC_X,
+                              jnp.where(pr == 4, MSRC_D2,
+                                        jnp.where(pr == 3, MSRC_D1,
+                                                  jnp.where(pr == 2, MSRC_I2,
+                                                            MSRC_I1)))))
+                choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
+                          | (d1_ext.astype(jnp.int32) << 4)
+                          | (i2_ext.astype(jnp.int32) << 5)
+                          | (d2_ext.astype(jnp.int32) << 6)
+                          ).astype(jnp.uint8)
+            else:
+                pm = jnp.maximum(pack(mis, 5), jnp.maximum(pack(del1, 3),
+                                                           pack(ins1, 1)))
+                raw = jnp.maximum(mis, jnp.maximum(del1, ins1))
+                pr = pm & 7
+                msrc = jnp.where(
+                    pm < 0, MSRC_NONE,
+                    jnp.where(pr == 5, MSRC_X,
+                              jnp.where(pr == 3, MSRC_D1, MSRC_I1)))
+                choice = (msrc | (i1_ext.astype(jnp.int32) << 3)
+                          | (d1_ext.astype(jnp.int32) << 4)
+                          ).astype(jnp.uint8)
+
+        if edit_like:
+            # a null current wavefront is immediately infeasible
+            # (engine._step_compute_edit num_null_steps = 2**30,
+            # reference: compute_edit.c:366); applied after trim below
+            pass
+        else:
+            nnull = jnp.where(active & all_null, nnull + 1,
+                              jnp.where(active, 0, nnull))
         lo_n = jnp.clip(lo_n, kmin + 2, kmin + W - 3)
         hi_n = jnp.clip(hi_n, kmin + 2, kmin + W - 3)
 
-        mvals = jnp.where(pm < 0, raw, pm >> 3)
+        if one_comp:
+            mvals = raw
+        else:
+            mvals = jnp.where(pm < 0, raw, pm >> 3)
         h_ = mvals
         v_ = mvals - karr
         bad = (h_ < 0) | (h_ > tlen) | (v_ < 0) | (v_ > plen)
@@ -544,13 +625,17 @@ def _kernel(cfg, TB,
         # [NC, TB, W] stack instead of NC sequential passes -- the kernel
         # analog of the engine's stacked ring writes (engine.py comps
         # stacking); per-step cost is reduction-bound at 5 components
-        vals = [mvals, ins1, del1]
-        prods = [write, write & ~(op_null & i1_null),
-                 write & ~(op_null & d1_null)]
-        if affine2p:
-            vals += [ins2, del2]
-            prods += [write & ~(op2_null & i2_null),
-                      write & ~(op2_null & d2_null)]
+        if one_comp:
+            vals = [mvals]
+            prods = [write]
+        else:
+            vals = [mvals, ins1, del1]
+            prods = [write, write & ~(op_null & i1_null),
+                     write & ~(op_null & d1_null)]
+            if affine2p:
+                vals += [ins2, del2]
+                prods += [write & ~(op2_null & i2_null),
+                          write & ~(op2_null & d2_null)]
         arr3 = jnp.stack(vals)                    # [NC, TB, W]
         prod3 = jnp.stack(prods)                  # [NC, TB, 1]
         arr3 = jnp.where(band_n[None] & prod3, arr3, NULL)
@@ -571,6 +656,10 @@ def _kernel(cfg, TB,
             off_ref[c * scope + slot1] = arr3[c]
             lohi_ref[c * scope + slot1] = jnp.concatenate(
                 [tlo3[c], thi3[c]], axis=1)
+        if edit_like:
+            # null current wavefront -> immediately infeasible
+            # (engine._step_compute_edit; reference: compute_edit.c:366)
+            nnull = jnp.where(active & (tlo3[0] > thi3[0]), big, nnull)
 
         if record:
             # double-buffered choice store: wait the copy issued two

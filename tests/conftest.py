@@ -8,15 +8,23 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# An EXPLICIT `JAX_PLATFORMS=''` (set-but-empty, i.e. "auto") opts out of
+# the CPU forcing -- that is how the TPU-hardware tests run on a real
+# chip (tests/test_pallas_tpu.py docstring); unset or "cpu" forces CPU.
+_EXPLICIT_AUTO = os.environ.get("JAX_PLATFORMS") == ""
+if not _EXPLICIT_AUTO:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # Disable the persistent compile cache for CPU runs: XLA:CPU AOT
 # executable (de)serialization intermittently segfaults (observed in both
 # compilation_cache.get_executable_and_time and put_executable_and_time),
 # and CPU compiles are cheap locally anyway -- the cache exists for the
 # TPU remote-compile relay. The env var gates
 # pywfa_tpu.__init__._enable_compile_cache, which runs at package import
-# (a jax.config.update here would be overridden by it).
-os.environ["PYWFA_TPU_CACHE"] = ""
+# (a jax.config.update here would be overridden by it). TPU runs
+# (explicit JAX_PLATFORMS='') keep the cache -- relay compiles cost
+# minutes cold.
+if not _EXPLICIT_AUTO:
+    os.environ["PYWFA_TPU_CACHE"] = ""
 
 # The full suite compiles hundreds of XLA:CPU executables in ONE process;
 # LLVM JIT section mmaps exhaust the default vm.max_map_count (65530) near
@@ -33,4 +41,5 @@ except (OSError, ValueError):
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _EXPLICIT_AUTO:
+    jax.config.update("jax_platforms", "cpu")

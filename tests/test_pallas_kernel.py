@@ -12,12 +12,13 @@ from pywfa_tpu.ops.pallas import fused_loop
 
 
 def _run_both(pairs, span, frees_row=(0, 0, 0, 0), distance="affine",
-              heuristic=None):
+              heuristic=None, **api_kw):
     import dataclasses
     B = len(pairs)
     maxLp = max(len(p) for p, _ in pairs)
     maxLt = max(len(t) for _, t in pairs)
-    api = WavefrontAligner(backend="numpy", span=span, distance=distance)
+    api = WavefrontAligner(backend="numpy", span=span, distance=distance,
+                           **api_kw)
     attr = api._attributes()
     if heuristic is not None:
         attr = dataclasses.replace(attr, heuristic=heuristic)
@@ -76,6 +77,40 @@ def test_affine2p_matches_xla():
     _run_both(_divergent_pairs(21), "end-to-end", distance="affine2p")
     _run_both(_divergent_pairs(22), "ends-free", distance="affine2p",
               frees_row=(3, 3, 3, 3))
+
+
+def test_linear_matches_xla():
+    """Gap-linear (1-component ring) in the fused kernel
+    (reference: wavefront_compute_linear.c:44-86)."""
+    _run_both(_divergent_pairs(61), "end-to-end", distance="linear")
+    _run_both(_divergent_pairs(62), "ends-free", distance="linear",
+              frees_row=(3, 3, 3, 3))
+
+
+def test_edit_indel_match_xla():
+    """Edit and indel metrics (1-component, all candidates from s-1)
+    (reference: wavefront_compute_edit.c:330-374)."""
+    _run_both(_divergent_pairs(63), "end-to-end", distance="levenshtein")
+    _run_both(_divergent_pairs(64, sub=0.0, ind=0.2), "end-to-end",
+              distance="indel")
+    _run_both(_divergent_pairs(65), "ends-free", distance="levenshtein",
+              frees_row=(2, 2, 2, 2))
+
+
+def test_match_bonus_end2end_matches_xla():
+    """match != 0 (Eizenga-transformed penalties) on the END_TO_END span:
+    the kernel runs the identical match-0 internal recurrence; only the
+    drop heuristics' swg_match constant differs
+    (engine._heuristic_cutoff parity)."""
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    _run_both(_divergent_pairs(66), "end-to-end", match=-3, mismatch=5,
+              gap_opening=7, gap_extension=2)
+    hz = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=14,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(67, sub=0.3, ind=0.2), "end-to-end",
+              match=-2, mismatch=6, gap_opening=8, gap_extension=2,
+              heuristic=hz)
 
 
 def test_wfadaptive_matches_xla():

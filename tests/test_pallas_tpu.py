@@ -136,6 +136,50 @@ def test_tpu_affine2p_drops():
               distance="affine2p", heuristic=hx)
 
 
+def test_tpu_linear_edit_indel():
+    """1-component metrics through the Mosaic-lowered kernel (linear /
+    edit / indel compute branches; VERDICT r4 item 3)."""
+    _tpu_or_skip()
+    _run_both(_pairs(45), "end-to-end", distance="linear")
+    _run_both(_pairs(46), "end-to-end", distance="levenshtein")
+    _run_both(_pairs(47, sub=0.0, ind=0.2), "end-to-end", distance="indel")
+
+
+def test_tpu_match_bonus():
+    """match != 0 end-to-end on hardware (swg_match in-kernel)."""
+    _tpu_or_skip()
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+    from pywfa_tpu.ops import engine as E
+    from pywfa_tpu.ops.pallas import fused_loop
+
+    pairs = _pairs(48)
+    maxL = max(max(len(p), len(t)) for p, t in pairs)
+    attr = WavefrontAligner(backend="numpy", span="end-to-end", match=-3,
+                            mismatch=5, gap_opening=7,
+                            gap_extension=2)._attributes()
+    cfg = E.full_config(attr, maxL, maxL)
+    assert fused_loop.supported(cfg) and cfg.match != 0
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.zeros((len(pairs), 4), jnp.int32)
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, len(pairs), bits, plen, tlen,
+                                        frees, ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
+
+
 def test_tpu_1kb_shape():
     """1 kb reads through the kernel (the shape routed per the 1 kb
     measurement in fused_loop.routed_tile; W=256-class band)."""

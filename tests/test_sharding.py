@@ -121,3 +121,76 @@ def test_bucketing():
     assert groups[(64, 64)] == [0, 2]
     assert groups[(128, 128)] == [1]
     assert groups[(512, 512)] == [3]
+
+
+@needs_devices
+def test_remat_under_mesh_matches_unsharded():
+    """The segmented/remat engine sequence (align_batch_start/resume +
+    replay walks) with batch-sharded inputs over the 8-device mesh must
+    produce the identical segments, statuses and walked op streams as the
+    unsharded run (CI twin of dryrun_multichip config 5)."""
+    import dataclasses
+
+    B, L = 32, 64
+    pats, txts = _mk_batch(B, L, seed=5)
+    attr = WavefrontAligner(backend="numpy", span="end-to-end")._attributes()
+    cfg0 = E.full_config(attr, L, L)
+    cfg = dataclasses.replace(cfg0, S_cap=8, record_choices=False)
+    cfg_rec = dataclasses.replace(cfg, record_choices=True)
+    C = cfg.extend_chunk
+    pat_np = encode_batch(pats, cfg.Lp, C, PATTERN_SENTINEL)
+    txt_np = encode_batch(txts, cfg.Lt, C, TEXT_SENTINEL)
+    plen_np = np.array([len(p) for p in pats], np.int32)
+    tlen_np = np.array([len(t) for t in txts], np.int32)
+    frees_np = np.zeros((B, 4), np.int32)
+    ms = jnp.int32(2**31 - 1)
+
+    def run(shard):
+        pat = jnp.asarray(pat_np)
+        txt = jnp.asarray(txt_np)
+        plen = jnp.asarray(plen_np)
+        tlen = jnp.asarray(tlen_np)
+        frees = jnp.asarray(frees_np)
+        if shard:
+            mesh = make_mesh(jax.devices()[:8])
+            b1 = NamedSharding(mesh, P("data"))
+            b2 = NamedSharding(mesh, P("data", None))
+            pat = jax.device_put(pat, b2)
+            txt = jax.device_put(txt, b2)
+            plen = jax.device_put(plen, b1)
+            tlen = jax.device_put(tlen, b1)
+            frees = jax.device_put(frees, b2)
+        out, state = E.align_batch_start(cfg, pat, txt, plen, tlen, frees,
+                                         ms)
+        snaps = []
+        for _ in range(32):
+            if not (np.asarray(out["status"]) == E.ST_OVERFLOW_S).any():
+                break
+            snaps.append({k: np.asarray(v) for k, v in state.items()})
+            out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen,
+                                              frees, ms, state)
+        status = np.asarray(out["status"])
+        carry = E.walk_carry_init(jnp.asarray(out["final_s"]),
+                                  jnp.asarray(out["end_k"]),
+                                  jnp.asarray(status == E.ST_END_REACHED))
+        blocks = []
+        for i in range(len(snaps), -1, -1):
+            if i == 0:
+                ops_seg, carry = E.align_batch_start_walk(
+                    cfg_rec, pat, txt, plen, tlen, frees, ms, carry)
+            else:
+                st = {k: jnp.asarray(v) for k, v in snaps[i - 1].items()}
+                ops_seg, carry = E.align_batch_replay_walk(
+                    cfg_rec, pat, txt, plen, tlen, frees, ms, st, carry)
+            blocks.insert(0, np.asarray(ops_seg))
+        fb = np.asarray(carry[4]) | np.asarray(carry[3])
+        return (len(snaps), status, np.asarray(out["final_s"]),
+                np.concatenate(blocks, axis=1), fb)
+
+    n_ref, st_ref, fs_ref, ops_ref, fb_ref = run(shard=False)
+    n_got, st_got, fs_got, ops_got, fb_got = run(shard=True)
+    assert n_ref == n_got >= 1  # the config must actually segment
+    assert not fb_ref.any() and not fb_got.any()
+    np.testing.assert_array_equal(st_got, st_ref)
+    np.testing.assert_array_equal(fs_got, fs_ref)
+    np.testing.assert_array_equal(ops_got, ops_ref)

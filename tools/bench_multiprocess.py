@@ -24,7 +24,7 @@ WORKER = os.path.join(REPO, "tools", "mp_worker.py")
 
 B_PER_DEV = int(os.environ.get("SCALE_B_PER_DEV", 64))
 L = int(os.environ.get("SCALE_L", 150))
-ITERS = int(os.environ.get("SCALE_ITERS", 5))
+ITERS = int(os.environ.get("SCALE_ITERS", 32))
 DEV_PER_PROC = 2
 
 
@@ -61,19 +61,32 @@ def run_point(nproc, tmpdir, B=None):
     s_per_batch = max(r["s_per_batch"] for r in recs)
     s_nogather = max(r["s_per_batch_nogather"] for r in recs)
     s_local = max(r["s_per_batch_local"] for r in recs)
+    # point noise floor: worst per-iteration stddev across processes and
+    # variants -- a decomposition difference below this is indistinguishable
+    # from measurement noise and is reported as such, never negative
+    noise = max(max(r["s_per_batch_std"], r["s_per_batch_nogather_std"],
+                    r["s_per_batch_local_std"]) for r in recs)
+    gather_raw = s_per_batch - s_nogather
+    dist_raw = s_nogather - s_local
     return dict(num_processes=nproc, global_devices=DEV_PER_PROC * nproc,
                 B=B, L=L, s_per_batch=s_per_batch,
+                s_per_batch_std=round(max(r["s_per_batch_std"]
+                                          for r in recs), 5),
                 pairs_per_s=B / s_per_batch,
                 # decomposition (see note): gather collective cost, and
                 # the same per-device shard on a LOCAL-only mesh under
                 # this point's CPU contention
-                gather_overhead_s=round(s_per_batch - s_nogather, 5),
+                gather_overhead_s=round(max(gather_raw, 0.0), 5),
+                gather_below_noise=bool(abs(gather_raw) < noise),
+                gather_bytes=recs[0]["gather_bytes"],
                 s_per_batch_local=s_local,
-                distributed_overhead_s=round(s_nogather - s_local, 5))
+                distributed_overhead_s=round(max(dist_raw, 0.0), 5),
+                distributed_below_noise=bool(abs(dist_raw) < noise),
+                noise_floor_s=round(noise, 5))
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r05.json"
     points = []
     strong_points = []
     B_strong = B_PER_DEV * DEV_PER_PROC * 4
@@ -119,7 +132,15 @@ def main():
               "(global-mesh/sync cost), device_weighted_efficiency = "
               "local-mesh time / wall under identical contention (1.0 = "
               "the global mesh is free). The >=85% BASELINE target is an "
-              "ICI/DCN property and needs a pod-slice run."),
+              "ICI/DCN property and needs a pod-slice run. ICI "
+              "projection: the gather moves gather_bytes = 16 B/pair "
+              "(4 int32 meta arrays; e.g. 8.2 KB at B=512), so on a v5e "
+              "pod's ~45 GB/s/link ICI the collective costs ~0.2 "
+              "microseconds/batch -- the milliseconds measured here are "
+              "Gloo-over-TCP loopback cost, a property of the CPU "
+              "simulation, not of the collective. Overheads are clamped "
+              "at 0 and flagged *_below_noise when |raw| < the point's "
+              "per-iteration stddev (noise_floor_s)."),
         b_per_device=B_PER_DEV, dev_per_proc=DEV_PER_PROC, iters=ITERS,
         weak_scaling=points, strong_scaling=strong_points)
     with open(out_path, "w") as f:

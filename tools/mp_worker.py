@@ -87,11 +87,19 @@ def main():
     out = run()  # compile + warm
     meta = {k: np.asarray(out[k]).tolist()
             for k in ("status", "final_s", "end_k", "end_off")}
-    t0 = time.time()
-    for _ in range(iters):
-        out = run()
-    np.asarray(out["status"])
-    dt = (time.time() - t0) / max(iters, 1)
+
+    def timed(fn_run, key):
+        """Per-iteration wall times -> (median, stddev)."""
+        ts = []
+        for _ in range(iters):
+            t0 = time.time()
+            o = fn_run()
+            jax.block_until_ready(o[key])
+            ts.append(time.time() - t0)
+        a = np.asarray(ts)
+        return float(np.median(a)), float(a.std())
+
+    dt, dt_std = timed(run, "status")
 
     # --- overhead decomposition (VERDICT r3: separate collective cost
     # from shared-core contention) ---
@@ -102,13 +110,8 @@ def main():
     def run_ng():
         return fn_ng(g["pat"], g["txt"], g["plen"], g["tlen"], g["frees"],
                      ms)
-    o = run_ng()
-    jax.block_until_ready(o["status"])
-    t0 = time.time()
-    for _ in range(iters):
-        o = run_ng()
-    jax.block_until_ready(o["status"])
-    dt_nogather = (time.time() - t0) / max(iters, 1)
+    run_ng()  # warm
+    dt_nogather, dt_ng_std = timed(run_ng, "status")
 
     # (b) local-only control: the SAME per-device shard on a mesh of just
     # this process's devices (no jax.distributed in the program) -> pure
@@ -124,20 +127,22 @@ def main():
     def run_l():
         return fn_l(gl["pat"], gl["txt"], gl["plen"], gl["tlen"],
                     gl["frees"], ms)
-    o = run_l()
-    jax.block_until_ready(o["status"])
-    t0 = time.time()
-    for _ in range(iters):
-        o = run_l()
-    jax.block_until_ready(o["status"])
-    dt_local = (time.time() - t0) / max(iters, 1)
+    run_l()  # warm
+    dt_local, dt_l_std = timed(run_l, "status")
+
+    # bytes the gather collective actually moves: the 4 per-pair int32
+    # meta arrays, gathered from shards to full replication
+    gather_bytes = 4 * 4 * B
 
     rec = dict(process_id=pid, num_processes=nproc,
                local_devices=len(jax.local_devices()),
                global_devices=len(jax.devices()),
-               B=B, L=L, s_per_batch=dt, pairs_per_s=B / dt,
+               B=B, L=L, s_per_batch=dt, s_per_batch_std=dt_std,
+               pairs_per_s=B / dt,
                s_per_batch_nogather=dt_nogather,
-               s_per_batch_local=dt_local, meta=meta)
+               s_per_batch_nogather_std=dt_ng_std,
+               s_per_batch_local=dt_local, s_per_batch_local_std=dt_l_std,
+               gather_bytes=gather_bytes, meta=meta)
     with open(out_path, "w") as f:
         json.dump(rec, f)
     print(f"proc {pid}/{nproc}: {B / dt:.0f} pairs/s "
