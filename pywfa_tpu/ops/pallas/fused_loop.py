@@ -121,11 +121,31 @@ def routed_tile(cfg):
     the wider band feeds the VPU enough that the kernel wins affine2p
     too); affine + wfadaptive 7.3 vs 33.2 (TB=64). Losing shape on
     record: plain affine2p at W<=128 only.
+
+    1-component metrics (tools/bench_pallas.py, v5e, this round):
+
+    4096 x 150bp, W=128/S_cap=96: XLA wins every one -- linear 3.3 XLA
+    vs 3.6 pallas (best TB=32), edit 2.4 vs 3.2 (TB=128), indel 3.2 vs
+    3.8 (TB=32); the single-component XLA step is cheap enough that the
+    kernel's tile-granular loop exit cannot pay for itself -> route to
+    XLA at W <= 128.
+
+    512 x 1kb, W=256/S_cap=192: the kernel wins every one -- linear 5.1
+    pallas (TB=64) vs 31.9 XLA (6.3x, 100 GCUPS), edit 3.5 (TB=64) vs
+    9.7 (2.8x, 145 GCUPS), indel 4.7 (TB=64) vs 16.9 (3.6x) -> route
+    W >= 256 to the kernel at TB=64.
+
+    match != 0 (END_TO_END) runs the identical match-0 recurrence over
+    the Eizenga-internal penalties (only the drop heuristics' swg_match
+    constant differs), so each metric's measured routing above applies
+    unchanged.
     """
     if not supported(cfg):
         return None
     if cfg.metric in _ONE_COMP:
-        return None  # placeholder: measured routing filled in below
+        # measured: XLA faster at W<=128, kernel 2.8-6.3x faster at
+        # W>=256 (docstring table)
+        return 64 if cfg.W >= 256 else None
     if cfg.strategy:
         return 64
     if cfg.metric == DistanceMetric.GAP_AFFINE_2P:

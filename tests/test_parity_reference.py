@@ -167,13 +167,22 @@ class TestConstruct:
         if res.status == 0:
             assert res.aligned_pattern == res.aligned_text
 
+    # The jax backend compiles one program per shape bucket, so the
+    # full fixture sweeps cost ~100 s each on the single-pair path; the
+    # default tier runs a 4-read jax subset (numpy stays full), and
+    # test_fixture_sweeps_full_jax (slow tier) runs every read on jax.
+    @staticmethod
+    def _subset(backend, pairs):
+        return pairs if backend == "numpy" else pairs[:4]
+
     @pytest.mark.skipif(not os.path.exists(REF_TESTS + "/long.fa"),
                         reason="reference fixtures not mounted")
     def test_long(self, backend):
         """(reference: tests/test.py:196-212)"""
         reads = list(read_fasta(REF_TESTS + "/long.fa"))
         refs = list(read_fasta(REF_TESTS + "/long.reference.fa"))
-        for (_, r), (_, p) in zip(reads, refs):
+        for (_, r), (_, p) in self._subset(backend,
+                                           list(zip(reads, refs))):
             text = r.upper()
             pattern = p.upper()
             l_text = int(len(text) / 2)
@@ -193,7 +202,8 @@ class TestConstruct:
         """(reference: tests/test.py:214-221)"""
         reads = list(read_fasta(REF_TESTS + "/short.fa"))
         refs = list(read_fasta(REF_TESTS + "/short.reference.fa"))
-        for (_, r), (_, p) in zip(reads, refs):
+        for (_, r), (_, p) in self._subset(backend,
+                                           list(zip(reads, refs))):
             a = WavefrontAligner(mismatch=5, gap_opening=6, gap_extension=2,
                                  backend=backend)
             a(r.upper(), p.upper())
@@ -204,7 +214,12 @@ class TestConstruct:
         """(reference: tests/test.py:223-232) incl. the (2, 175) golden."""
         reads = list(read_fasta(REF_TESTS + "/short.fa"))
         refs = list(read_fasta(REF_TESTS + "/short.reference.fa"))
-        for (name, r), (_, p) in zip(reads, refs):
+        pairs = list(zip(reads, refs))
+        # always keep the golden read in the jax subset
+        golden = [pr for pr in pairs if pr[0][0].startswith("read6.")]
+        pairs = self._subset(backend, pairs)
+        pairs += [pr for pr in golden if pr not in pairs]
+        for (name, r), (_, p) in pairs:
             a = WavefrontAligner(distance="affine2p", mismatch=5,
                                  gap_opening=6, gap_extension=2,
                                  backend=backend)
@@ -212,3 +227,17 @@ class TestConstruct:
                     elide_mismatches=True)
             if name == "read6.loci:chr1:13,853,852-13,854,838":
                 assert res.cigartuples[3] == (2, 175)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_TESTS + "/short.fa"),
+                    reason="reference fixtures not mounted")
+def test_fixture_sweeps_full_jax():
+    """Slow tier: the FULL reference fixture sweeps on the jax backend
+    (the default tier runs a 4-read subset per sweep; numpy always runs
+    full)."""
+    t = TestConstruct()
+    t._subset = staticmethod(lambda backend, pairs: pairs)
+    t.test_long("jax")
+    t.test_short("jax")
+    t.test_short2p("jax")
