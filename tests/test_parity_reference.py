@@ -167,13 +167,14 @@ class TestConstruct:
         if res.status == 0:
             assert res.aligned_pattern == res.aligned_text
 
-    # The jax backend compiles one program per shape bucket, so the
-    # full fixture sweeps cost ~100 s each on the single-pair path; the
-    # default tier runs a 4-read jax subset (numpy stays full), and
-    # test_fixture_sweeps_full_jax (slow tier) runs every read on jax.
+    # The jax backend compiles one program per shape bucket AND per
+    # escalation rung, so the full fixture sweeps cost ~100 s each on
+    # the single-pair path; the default tier runs a 1-read jax probe
+    # (numpy stays full), and test_fixture_sweeps_full_jax (slow tier)
+    # runs every read on jax.
     @staticmethod
     def _subset(backend, pairs):
-        return pairs if backend == "numpy" else pairs[:4]
+        return pairs if backend == "numpy" else pairs[:1]
 
     @pytest.mark.skipif(not os.path.exists(REF_TESTS + "/long.fa"),
                         reason="reference fixtures not mounted")

@@ -168,10 +168,10 @@ def _run_drop_grid(per_config: int):
     return total
 
 
-def test_drop_corpus_1k_zero_fallback(no_oracle):
-    """Fast smoke twin of the 10k corpus: same strategy grid, 256
+def test_drop_corpus_smoke_zero_fallback(no_oracle):
+    """Fast smoke twin of the 10k corpus: same strategy grid, 128
     pairs/config, zero oracle fallbacks (in the default test tier)."""
-    assert _run_drop_grid(256) >= 1_000
+    assert _run_drop_grid(128) >= 512
 
 
 @pytest.mark.slow
