@@ -26,6 +26,14 @@ def _enable_compile_cache() -> None:
     try:
         import hashlib
         import jax
+        # CPU-forced contexts get no persistent cache at all: XLA:CPU AOT
+        # blobs embed the COMPILE machine's feature selection (which the
+        # cpuinfo fingerprint below does not fully capture -- observed: a
+        # cached blob carrying +prefer-no-gather loaded on a host whose
+        # XLA target lacked it, warning of possible SIGILL). The cache
+        # exists for the TPU remote-compile relay; CPU compiles are cheap.
+        if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            return
         # Partition the cache by host-CPU fingerprint: XLA:CPU AOT
         # executables embed the compile machine's feature set, and loading
         # one on a host missing those features (cache dir shared across
