@@ -24,11 +24,13 @@ rings), and the 1-component gap-linear / edit / indel recurrences
 (reference: wavefront_compute_linear.c:44-86, wavefront_compute_edit.c:
 330-374); end-to-end and ends-free spans (plus match!=0 on end-to-end --
 the Eizenga-internal recurrence is match-0 there, only the drop
-heuristics' swg_match constant differs); full-CIGAR recording; strategy
-none / wfadaptive / xdrop / zdrop (and wfadaptive|drop combos).
-Remaining XLA-only routes: ends-free with match!=0 (per-score boundary
-seeding, engine._endsfree_seed), wfmash/banded strategies, and
-class-mask matching (identical results either way -- enforced by tests).
+heuristics' swg_match constant differs); full-CIGAR recording; and the COMPLETE
+heuristic family in-loop -- wfadaptive, wfmash (length-normalized
+distance), x-drop, z-drop, banded static/adaptive, and their cascade
+combos (reference: wavefront_heuristic.c:176-505). Remaining XLA-only
+routes: ends-free with match!=0 (per-score boundary seeding,
+engine._endsfree_seed) and class-mask matching (identical results
+either way -- enforced by tests).
 """
 from __future__ import annotations
 
@@ -58,8 +60,11 @@ M, I1, D1, I2, D2 = 0, 1, 2, 3, 4
 
 
 _KERNEL_STRATEGIES = int(HeuristicStrategy.WFADAPTIVE
+                         | HeuristicStrategy.WFMASH
                          | HeuristicStrategy.XDROP
-                         | HeuristicStrategy.ZDROP)
+                         | HeuristicStrategy.ZDROP
+                         | HeuristicStrategy.BANDED_STATIC
+                         | HeuristicStrategy.BANDED_ADAPTIVE)
 
 
 _ONE_COMP = (DistanceMetric.GAP_LINEAR, DistanceMetric.EDIT,
@@ -139,12 +144,24 @@ def routed_tile(cfg):
     the Eizenga-internal penalties (only the drop heuristics' swg_match
     constant differs), so each metric's measured routing above applies
     unchanged.
+
+    Remaining strategies, 4096 x 150bp W=128/S_cap=96 (this round):
+    wfmash 6.2 pallas (TB=64) vs 7.9 XLA -> kernel; banded-static 5.4
+    (TB=64) vs 5.2 XLA and banded-adaptive 7.3 (TB=32/128) vs 6.7 XLA ->
+    pure-banded configs route to XLA at W <= 128 (the band clamp is one
+    cheap vector op XLA fuses well); banded combos with drops keep the
+    drop cascade's measured kernel win.
     """
     if not supported(cfg):
         return None
     if cfg.metric in _ONE_COMP:
         # measured: XLA faster at W<=128, kernel 2.8-6.3x faster at
         # W>=256 (docstring table)
+        return 64 if cfg.W >= 256 else None
+    _BANDED = int(HeuristicStrategy.BANDED_STATIC
+                  | HeuristicStrategy.BANDED_ADAPTIVE)
+    if cfg.strategy and (cfg.strategy & ~_BANDED) == 0:
+        # pure banded: measured XLA win at W<=128 (docstring)
         return 64 if cfg.W >= 256 else None
     if cfg.strategy:
         return 64
@@ -204,9 +221,14 @@ def _kernel(cfg, TB,
     # SW score units for the drop heuristics (engine._heuristic_cutoff)
     swg_match = -cfg.match if cfg.match != 0 else 1
     NC = n_comp(cfg)
-    wfadaptive = bool(cfg.strategy & HeuristicStrategy.WFADAPTIVE)
+    wfadaptive = bool(cfg.strategy & (HeuristicStrategy.WFADAPTIVE
+                                      | HeuristicStrategy.WFMASH))
+    wfmash = bool(cfg.strategy & HeuristicStrategy.WFMASH)
     xdrop = bool(cfg.strategy & HeuristicStrategy.XDROP)
     zdrop = (not xdrop) and bool(cfg.strategy & HeuristicStrategy.ZDROP)
+    banded_static = bool(cfg.strategy & HeuristicStrategy.BANDED_STATIC)
+    banded_adaptive = (not banded_static) and bool(
+        cfg.strategy & HeuristicStrategy.BANDED_ADAPTIVE)
     use_heuristic = cfg.strategy != 0
     end2end = cfg.span == AlignmentSpan.END_TO_END
     NQ = bits_ref.shape[0]
@@ -374,7 +396,17 @@ def _kernel(cfg, TB,
             do_h = ready & ((cur_hi - cur_lo + 1) >= cfg.min_wavefront_length)
             hband = band_mask(cur_lo, cur_hi)
             v_h = m_off - karr
-            dist = jnp.maximum(plen - v_h, tlen - m_off)
+            if wfmash:
+                # length-normalized distance (engine._heuristic_cutoff
+                # wfmash branch; reference: wavefront_heuristic.c:308-335)
+                mfactor = (plen + tlen).astype(jnp.float32) / 2
+                lv = ((plen - v_h).astype(jnp.float32)
+                      / plen.astype(jnp.float32) * mfactor).astype(jnp.int32)
+                lh = ((tlen - m_off).astype(jnp.float32)
+                      / tlen.astype(jnp.float32) * mfactor).astype(jnp.int32)
+                dist = jnp.maximum(lv, lh)
+            else:
+                dist = jnp.maximum(plen - v_h, tlen - m_off)
             dist = jnp.where(m_off >= 0, dist, jnp.int32(-NULL))
             mind = jnp.min(jnp.where(hband, dist, jnp.maximum(plen, tlen)),
                            axis=1, keepdims=True)
@@ -455,6 +487,41 @@ def _kernel(cfg, TB,
                 end_off = jnp.where(zdropped, hm_off, end_off)
                 done = done | zdropped
                 active = active & ~zdropped
+        if banded_static:
+            # (engine._heuristic_cutoff banded-static; reference:
+            # wavefront_heuristic.c:454-470) -- no steps_wait gate
+            cur_lo = jnp.where(eligible,
+                               jnp.maximum(cur_lo, cfg.band_min_k), cur_lo)
+            cur_hi = jnp.where(eligible,
+                               jnp.minimum(cur_hi, cfg.band_max_k), cur_hi)
+        elif banded_adaptive:
+            # (engine parity; reference: wavefront_heuristic.c:472-505)
+            wf_len = cur_hi - cur_lo + 1
+            max_len = cfg.band_max_k - cfg.band_min_k + 1
+            ticked = eligible & (h_wait <= 0) & (wf_len >= 4)
+            do_b = ticked & (wf_len > max_len)
+
+            def dist_at(kq):
+                # one-hot band read (kq always within the clipped band)
+                sel_q = karr == kq
+                o = jnp.sum(jnp.where(sel_q, m_off, 0), axis=1,
+                            keepdims=True)
+                d = jnp.maximum(plen - (o - kq), tlen - o)
+                return jnp.where(o >= 0, d, jnp.int32(-NULL))
+
+            leeway = (wf_len - max_len) // 2
+            quarter = wf_len // 4
+            d0 = dist_at(cur_lo)
+            d1 = dist_at(cur_lo + quarter)
+            d2 = dist_at(cur_lo + 2 * quarter)
+            d3 = dist_at(cur_hi)
+            new_lo0 = (cur_lo + jnp.where(d0 > d3, leeway, 0)
+                       + jnp.where(d1 > d2, leeway, 0))
+            nlo = jnp.maximum(new_lo0, cur_lo)
+            nhi = jnp.minimum(new_lo0 + max_len - 1, cur_hi)
+            cur_lo = jnp.where(do_b, nlo, cur_lo)
+            cur_hi = jnp.where(do_b, nhi, cur_hi)
+            h_wait = jnp.where(ticked, cfg.steps_between_cutoffs, h_wait)
         if use_heuristic:
             # install the pruned M band + equate I/D once per cascade
             # (reference: heuristic.c:554-565)

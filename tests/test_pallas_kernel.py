@@ -206,6 +206,33 @@ def test_lcp_hmajor_cross_block_carry():
     assert ref[0, w0, 0] == L
 
 
+def test_wfmash_banded_match_xla():
+    """wfmash (length-normalized wf-adaptive) and banded static/adaptive
+    inside the kernel (reference: wavefront_heuristic.c:308-335,454-505)."""
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    hm = HeuristicParams(strategy=HeuristicStrategy.WFMASH,
+                         min_wavefront_length=5, max_distance_threshold=12,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(71, sub=0.25, ind=0.15), "end-to-end",
+              heuristic=hm)
+    hs = HeuristicParams(strategy=HeuristicStrategy.BANDED_STATIC,
+                         min_k=-12, max_k=12, steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(72, sub=0.2, ind=0.15), "end-to-end",
+              heuristic=hs)
+    ha = HeuristicParams(strategy=HeuristicStrategy.BANDED_ADAPTIVE,
+                         min_k=-10, max_k=10, steps_between_cutoffs=2)
+    _run_both(_divergent_pairs(73, sub=0.25, ind=0.15), "end-to-end",
+              heuristic=ha)
+    # combo: banded static + z-drop through the same cascade
+    hc = HeuristicParams(strategy=(HeuristicStrategy.BANDED_STATIC
+                                   | HeuristicStrategy.ZDROP),
+                         min_k=-10, max_k=10, zdrop=15,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(74, sub=0.3, ind=0.2), "end-to-end",
+              heuristic=hc)
+
+
 def test_drops_match_xla():
     """X-drop pruning and Z-drop abandonment inside the fused kernel
     (reference: wavefront_heuristic.c:338-450), incl. historic-max end

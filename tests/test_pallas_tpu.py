@@ -136,6 +136,23 @@ def test_tpu_affine2p_drops():
               distance="affine2p", heuristic=hx)
 
 
+def test_tpu_wfmash_banded():
+    """wfmash + banded static/adaptive strategies on hardware."""
+    _tpu_or_skip()
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    hm = HeuristicParams(strategy=HeuristicStrategy.WFMASH,
+                         min_wavefront_length=5, max_distance_threshold=12,
+                         steps_between_cutoffs=1)
+    _run_both(_pairs(49, sub=0.25, ind=0.15), "end-to-end", heuristic=hm)
+    hs = HeuristicParams(strategy=HeuristicStrategy.BANDED_STATIC,
+                         min_k=-12, max_k=12, steps_between_cutoffs=1)
+    _run_both(_pairs(50, sub=0.2, ind=0.15), "end-to-end", heuristic=hs)
+    ha = HeuristicParams(strategy=HeuristicStrategy.BANDED_ADAPTIVE,
+                         min_k=-10, max_k=10, steps_between_cutoffs=2)
+    _run_both(_pairs(51, sub=0.25, ind=0.15), "end-to-end", heuristic=ha)
+
+
 def test_tpu_linear_edit_indel():
     """1-component metrics through the Mosaic-lowered kernel (linear /
     edit / indel compute branches; VERDICT r4 item 3)."""

@@ -53,13 +53,28 @@ def main():
                   text_begin_free=free, text_end_free=free)
     api = WavefrontAligner(backend="numpy", span=span, distance=dist, **kw)
     attr = api._attributes()
-    if os.environ.get("BENCH_HEUR") == "adaptive":
+    heur = os.environ.get("BENCH_HEUR")
+    if heur:
         import dataclasses
         from pywfa_tpu.attributes import HeuristicParams
         from pywfa_tpu.constants import HeuristicStrategy
-        attr = dataclasses.replace(attr, heuristic=HeuristicParams(
-            strategy=HeuristicStrategy.WFADAPTIVE, min_wavefront_length=10,
-            max_distance_threshold=50, steps_between_cutoffs=1))
+        hp = {
+            "adaptive": HeuristicParams(
+                strategy=HeuristicStrategy.WFADAPTIVE,
+                min_wavefront_length=10, max_distance_threshold=50,
+                steps_between_cutoffs=1),
+            "wfmash": HeuristicParams(
+                strategy=HeuristicStrategy.WFMASH,
+                min_wavefront_length=10, max_distance_threshold=50,
+                steps_between_cutoffs=1),
+            "banded-static": HeuristicParams(
+                strategy=HeuristicStrategy.BANDED_STATIC,
+                min_k=-40, max_k=40, steps_between_cutoffs=1),
+            "banded-adaptive": HeuristicParams(
+                strategy=HeuristicStrategy.BANDED_ADAPTIVE,
+                min_k=-40, max_k=40, steps_between_cutoffs=1),
+        }[heur]
+        attr = dataclasses.replace(attr, heuristic=hp)
     W = int(os.environ.get("BENCH_W", 128))
     S_cap = int(os.environ.get("BENCH_SCAP", 96))
     cfg = E.full_config(attr, L, L, W=W, S_cap=S_cap)
