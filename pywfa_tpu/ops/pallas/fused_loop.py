@@ -27,10 +27,17 @@ the Eizenga-internal recurrence is match-0 there, only the drop
 heuristics' swg_match constant differs); full-CIGAR recording; and the COMPLETE
 heuristic family in-loop -- wfadaptive, wfmash (length-normalized
 distance), x-drop, z-drop, banded static/adaptive, and their cascade
-combos (reference: wavefront_heuristic.c:176-505). Remaining XLA-only
-routes: ends-free with match!=0 (per-score boundary seeding,
-engine._endsfree_seed) and class-mask matching (identical results
-either way -- enforced by tests).
+combos (reference: wavefront_heuristic.c:176-505). Class-mask matching
+works through the kernel too: the eq-bits stream is built by
+engine._build_eq_bits with the class-mask compare baked in, so the
+kernel never touches raw characters (tests/test_pallas_kernel.py::
+test_match_classes_kernel). match != 0 is covered on both spans --
+END_TO_END runs the identical match-0 internal recurrence, ENDS_FREE
+adds the per-score boundary seeding in-kernel (ef_seeding; reference:
+wavefront_compute.c:124-254) -- so the kernel covers the engine's
+entire metric x span x strategy x matching space; per-shape routing
+between it and the XLA engine is measured (routed_tile), and results
+are identical either way (enforced by tests).
 """
 from __future__ import annotations
 
@@ -55,6 +62,7 @@ ST_END_UNREACHABLE = 2
 ST_MAX_STEPS = 3
 ST_OVERFLOW_S = 5
 MSRC_NONE, MSRC_X, MSRC_I1, MSRC_D1, MSRC_I2, MSRC_D2 = 0, 1, 2, 3, 4, 5
+MSRC_SEED = 7
 
 M, I1, D1, I2, D2 = 0, 1, 2, 3, 4
 
@@ -73,12 +81,11 @@ _ONE_COMP = (DistanceMetric.GAP_LINEAR, DistanceMetric.EDIT,
 
 def supported(cfg) -> bool:
     return ((cfg.strategy & ~_KERNEL_STRATEGIES) == 0
-            # match != 0 only changes WF0/per-score seeding in ENDS_FREE
-            # spans (engine._endsfree_seed) and the drop heuristics'
-            # swg_match constant (handled in-kernel); END_TO_END
-            # wavefronts are identical to the match-0 run over the
-            # Eizenga-internal penalties the config already carries
-            and (cfg.match == 0 or cfg.span == AlignmentSpan.END_TO_END)
+            # match != 0: END_TO_END runs the identical match-0 internal
+            # recurrence over the Eizenga penalties the config carries;
+            # ENDS_FREE adds the per-score boundary seeding, which runs
+            # in-kernel (ef_seeding); the drop heuristics' swg_match
+            # constant is in-kernel for both
             and cfg.use_lcp_table
             # the choices HBM-stream DMA slices [TB, W] out of
             # [S_cap, B, W]; Mosaic requires the lane dim 128-aligned
@@ -230,6 +237,11 @@ def _kernel(cfg, TB,
     banded_adaptive = (not banded_static) and bool(
         cfg.strategy & HeuristicStrategy.BANDED_ADAPTIVE)
     use_heuristic = cfg.strategy != 0
+    # ends-free match != 0: per-score boundary seeding at every
+    # match-multiple score (engine._endsfree_seed; reference:
+    # wavefront_compute.c:124-254). Edit/indel have no match weight.
+    ef_seeding = (cfg.span == AlignmentSpan.ENDS_FREE and cfg.match != 0
+                  and not edit_like)
     end2end = cfg.span == AlignmentSpan.END_TO_END
     NQ = bits_ref.shape[0]
 
@@ -693,8 +705,6 @@ def _kernel(cfg, TB,
         else:
             nnull = jnp.where(active & all_null, nnull + 1,
                               jnp.where(active, 0, nnull))
-        lo_n = jnp.clip(lo_n, kmin + 2, kmin + W - 3)
-        hi_n = jnp.clip(hi_n, kmin + 2, kmin + W - 3)
 
         if one_comp:
             mvals = raw
@@ -705,7 +715,39 @@ def _kernel(cfg, TB,
         bad = (h_ < 0) | (h_ > tlen) | (v_ < 0) | (v_ > plen)
         mvals = jnp.where(bad, NULL, mvals)
 
-        write = active & ~all_null
+        null_step = all_null
+        seeded_null = None
+        if ef_seeding:
+            # (engine._endsfree_seed byte-for-byte; reference:
+            # wavefront_compute.c:124-254 incl. the phantom null-step
+            # wavefront that keeps the heuristic cadence ticking)
+            need_s = jax.lax.rem(s1, -cfg.match) == 0
+            ek = s1 // (-cfg.match)
+            pbf_s = frees_ref[:, 0:1]
+            tbf_s = frees_ref[:, 2:3]
+            need = need_s & ((pbf_s > 0) | (tbf_s > 0))
+            seed_t = need & (tbf_s >= ek)
+            seed_p = need & (pbf_s >= ek)
+            at_pk = karr == ek
+            at_nk = karr == -ek
+            do_t = seed_t & at_pk & (mvals <= ek)
+            do_p = seed_p & at_nk & (mvals <= 0)
+            mvals = jnp.where(do_t, ek, mvals)
+            mvals = jnp.where(do_p, 0, mvals)
+            choice = jnp.where(do_t | do_p, jnp.uint8(MSRC_SEED), choice)
+            ns_lo = jnp.where(seed_p, -ek, jnp.where(seed_t, ek, 0))
+            ns_hi = jnp.where(seed_t, ek, jnp.where(seed_p, -ek, 0))
+            lo_n = jnp.where(seed_p, jnp.minimum(lo_n, -ek), lo_n)
+            hi_n = jnp.where(seed_t, jnp.maximum(hi_n, ek), hi_n)
+            lo_n = jnp.where(null_step & need, ns_lo, lo_n)
+            hi_n = jnp.where(null_step & need, ns_hi, hi_n)
+            seeded_null = null_step & need
+            null_step = null_step & ~need
+
+        lo_n = jnp.clip(lo_n, kmin + 2, kmin + W - 3)
+        hi_n = jnp.clip(hi_n, kmin + 2, kmin + W - 3)
+
+        write = active & ~null_step
         band_n = band_mask(lo_n, hi_n) & write
 
         # stacked component store: one trim (two reductions) over a
@@ -738,6 +780,13 @@ def _kernel(cfg, TB,
         any3 = inb3.any(axis=2, keepdims=True)
         tlo3 = jnp.where(prod3 & any3, first3, 1)
         thi3 = jnp.where(prod3 & any3, last3, -1)
+        if ef_seeding:
+            # the null-step seeding path performs no end-trim on M
+            # (engine parity: tlo/thi forced to the seeded band)
+            m_tlo = jnp.where(seeded_null, lo_n, tlo3[0])
+            m_thi = jnp.where(seeded_null, hi_n, thi3[0])
+            tlo3 = jnp.concatenate([m_tlo[None], tlo3[1:]], axis=0)
+            thi3 = jnp.concatenate([m_thi[None], thi3[1:]], axis=0)
         arr3 = jnp.where((karr3 >= tlo3) & (karr3 <= thi3), arr3, NULL)
         for c in range(NC):
             off_ref[c * scope + slot1] = arr3[c]

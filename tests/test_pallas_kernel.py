@@ -97,6 +97,24 @@ def test_edit_indel_match_xla():
               frees_row=(2, 2, 2, 2))
 
 
+def test_match_bonus_endsfree_matches_xla():
+    """match != 0 on ENDS_FREE: the per-score boundary seeding
+    (engine._endsfree_seed) runs in-kernel, incl. the phantom null-step
+    wavefront and the no-trim seeded band."""
+    from pywfa_tpu.attributes import HeuristicParams
+    from pywfa_tpu.constants import HeuristicStrategy
+    _run_both(_divergent_pairs(68), "ends-free", frees_row=(6, 6, 6, 6),
+              match=-2, mismatch=5, gap_opening=7, gap_extension=2)
+    _run_both(_divergent_pairs(69, sub=0.25, ind=0.15), "ends-free",
+              frees_row=(4, 4, 8, 8), match=-3, mismatch=4,
+              gap_opening=6, gap_extension=2, distance="affine2p")
+    hz = HeuristicParams(strategy=HeuristicStrategy.ZDROP, zdrop=14,
+                         steps_between_cutoffs=1)
+    _run_both(_divergent_pairs(70, sub=0.3, ind=0.2), "ends-free",
+              frees_row=(5, 5, 5, 5), match=-2, mismatch=5,
+              gap_opening=7, gap_extension=2, heuristic=hz)
+
+
 def test_match_bonus_end2end_matches_xla():
     """match != 0 (Eizenga-transformed penalties) on the END_TO_END span:
     the kernel runs the identical match-0 internal recurrence; only the
@@ -204,6 +222,40 @@ def test_lcp_hmajor_cross_block_carry():
     # the k=0 diagonal run at h=0 must span the full identical sequence
     w0 = -cfg.kmin
     assert ref[0, w0, 0] == L
+
+
+def test_match_classes_kernel():
+    """Class-mask matching through the fused kernel: the eq-bits stream
+    already encodes the class-mask compare (engine._build_eq_bits /
+    _eq_skew), so IUPAC configs route to and agree with the kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    pairs = [("ACGTNNACGTRYACGT", "ACGTACACGTAGACGT"),
+             ("ACGTACGTACGT", "ACGTNCGTACGT"),
+             ("NNNNNNNN", "ACGTACGT"),
+             ("ACGTWSKM", "ACGTATGC")]
+    attr = WavefrontAligner(backend="numpy", span="end-to-end",
+                            match_classes="iupac")._attributes()
+    cfg = E.full_config(attr, 16, 16)
+    assert fused_loop.supported(cfg) and fused_loop.routed_tile(cfg)
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.zeros((len(pairs), 4), jnp.int32)
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, len(pairs), bits, plen, tlen,
+                                        frees, ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
 
 
 def test_wfmash_banded_match_xla():

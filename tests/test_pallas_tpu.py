@@ -162,6 +162,45 @@ def test_tpu_linear_edit_indel():
     _run_both(_pairs(47, sub=0.0, ind=0.2), "end-to-end", distance="indel")
 
 
+def test_tpu_match_bonus_endsfree():
+    """match != 0 ends-free on hardware: per-score boundary seeding
+    in-kernel (Mosaic lowering of the ef_seeding path)."""
+    _tpu_or_skip()
+    from pywfa_tpu.align import WavefrontAligner
+    from pywfa_tpu.batch import PATTERN_SENTINEL, TEXT_SENTINEL, encode_batch
+    from pywfa_tpu.ops import engine as E
+    from pywfa_tpu.ops.pallas import fused_loop
+
+    pairs = _pairs(52)
+    maxL = max(max(len(p), len(t)) for p, t in pairs)
+    attr = WavefrontAligner(backend="numpy", span="ends-free",
+                            pattern_begin_free=5, pattern_end_free=5,
+                            text_begin_free=5, text_end_free=5, match=-2,
+                            mismatch=5, gap_opening=7,
+                            gap_extension=2)._attributes()
+    cfg = E.full_config(attr, maxL, maxL)
+    assert fused_loop.supported(cfg) and cfg.match != 0
+    C = cfg.extend_chunk
+    pat = jnp.asarray(encode_batch([p.encode() for p, _ in pairs],
+                                   cfg.Lp, C, PATTERN_SENTINEL))
+    txt = jnp.asarray(encode_batch([t.encode() for _, t in pairs],
+                                   cfg.Lt, C, TEXT_SENTINEL))
+    plen = jnp.asarray([len(p) for p, _ in pairs], dtype=jnp.int32)
+    tlen = jnp.asarray([len(t) for _, t in pairs], dtype=jnp.int32)
+    frees = jnp.tile(jnp.asarray([[5, 5, 5, 5]], jnp.int32),
+                     (len(pairs), 1))
+    ms = jnp.int32(2**31 - 1)
+    ref = E.align_batch(cfg, pat, txt, plen, tlen, frees, ms)
+    bits = E.build_eq_bits(cfg, pat, txt)
+    out = fused_loop.align_batch_pallas(cfg, len(pairs), bits, plen, tlen,
+                                        frees, ms)
+    for key in ("status", "final_s", "end_k", "end_off"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["choices"]),
+                                  np.asarray(ref["choices"]))
+
+
 def test_tpu_match_bonus():
     """match != 0 end-to-end on hardware (swg_match in-kernel)."""
     _tpu_or_skip()
