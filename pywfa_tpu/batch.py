@@ -294,6 +294,12 @@ def pack_tokens(mat: np.ndarray, lens: np.ndarray,
     """
     if width is None or width > mat.shape[1]:
         width = mat.shape[1]
+    lens = np.asarray(lens)
+    if lens.size and int(lens.max()) > width:
+        # precondition violated (a sequence longer than the packed
+        # region): fail the pack -> caller uses the raw-token push,
+        # never a silently truncated sequence
+        return None
     from . import native
     if native.lib() is not None:
         return native.pack2_batch(mat, lens, width)  # None <=> non-ACGT
@@ -719,12 +725,16 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         # enqueue->sync span against the steps it executed. The first two
         # spans compile align_batch_start/align_batch_resume and are
         # skipped; RPC latency inflates the rest slightly, which only
-        # errs conservative (smaller follow-up programs).
-        s_now = int(np.asarray(state["s"]))
+        # errs conservative (smaller follow-up programs). The scalar s
+        # pull happens only when the value is consumed (one extra sync
+        # RPC per segment on tunneled links otherwise).
         if seg_i >= 2:
+            s_now = int(np.asarray(state["s"]))
             _record_step_time(cfg, B, s_now - s_prev,
                               time.perf_counter() - t_seg)
-        s_prev = s_now
+            s_prev = s_now
+        elif seg_i == 1:
+            s_prev = int(np.asarray(state["s"]))
         if not (status == E.ST_OVERFLOW_S).any():
             break
         snap = {k: np.asarray(v) for k, v in state.items()}
@@ -732,9 +742,11 @@ def _align_pairs_remat(attr, attr0, patterns, texts, wildcard, big_cfg,
         snaps_bytes += sum(a.nbytes for a in snap.values())
         # in-flight progress (verbose>=3 every probe_interval_global steps,
         # verbose>=4 every segment; reference: wavefront_unialign.c:110-112)
-        if verbose >= 4 or (verbose >= 3 and s_now >= next_probe):
-            next_probe = (s_now // probe + 1) * probe
-            _print_progress(cfg, B, s_now, snap, snaps_bytes)
+        if verbose >= 3:
+            s_now = int(snap["s"])
+            if verbose >= 4 or s_now >= next_probe:
+                next_probe = (s_now // probe + 1) * probe
+                _print_progress(cfg, B, s_now, snap, snaps_bytes)
         t_seg = time.perf_counter()
         out, state = E.align_batch_resume(cfg, pat, txt, plen, tlen, frees,
                                           max_steps, state)
@@ -1161,14 +1173,19 @@ def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
     offloaded. Results come back in input order. `workers=0` runs
     everything on the caller's thread.
 
-    While iterating, the cyclic garbage collector is suspended (restored
-    on exit): each batch allocates thousands of short-lived result
-    objects, and the periodic full gen-2 collection they trigger scans
-    every live object -- a measured ~100 ms pause every ~12 batches at
-    the headline shape, ~30% of stream wall time. Everything here is
-    acyclic and freed promptly by refcounting. Set PYWFA_STREAM_GC=1 to
-    keep the collector running (e.g. if the consuming loop builds cyclic
-    structures).
+    At stream start the current heap is gc.freeze()-frozen: each batch
+    allocates thousands of short-lived result objects, and the periodic
+    full gen-2 collection they trigger scans every live object -- a
+    measured ~100 ms pause every ~12 batches at the headline shape, ~30%
+    of stream wall time. Freezing moves the long-lived baseline (jax
+    internals, compiled executables) out of the collector's reach, so
+    collections keep running (consumer cycles are still reclaimed, and
+    concurrent streams don't fight over a global disable) but scan only
+    the small unfrozen working set. The stream's own objects are acyclic
+    and die by refcount either way. Set PYWFA_STREAM_GC=1 to skip the
+    freeze (frozen objects stay uncollectable for the process lifetime,
+    which matters only if the pre-stream heap itself held collectable
+    cycles).
 
     Each input item is (patterns, texts) or (patterns, texts, kwargs) --
     the per-batch kwargs (e.g. bucketed Lp/Lt) override the stream-level
@@ -1177,14 +1194,13 @@ def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
     import collections
     import gc
     pending = collections.deque()
-    gc_off = (gc.isenabled()
-              and os.environ.get("PYWFA_STREAM_GC", "") in ("", "0"))
+    if os.environ.get("PYWFA_STREAM_GC", "") in ("", "0"):
+        gc.collect()
+        gc.freeze()
     ex = None
     if workers > 0:
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(max_workers=1)
-    if gc_off:
-        gc.disable()
     try:
         for item in batches:
             patterns, texts = item[0], item[1]
@@ -1200,8 +1216,6 @@ def align_pairs_stream(attr: AlignerAttributes, batches, wildcard=None,
     finally:
         if ex is not None:
             ex.shutdown(wait=True)
-        if gc_off:
-            gc.enable()
 
 
 def align_pairs_dispatch(attr: AlignerAttributes, patterns: Sequence[bytes],

@@ -99,11 +99,17 @@ int64_t wfa_encode_pack_batch(
             uint8_t* orow = out_packed + b * Wout;
             uint8_t acc = 0;
             // Wout may cover less than the token stride (the caller
-            // skips the chunk tail); clamp so a too-long row can't
-            // write past its packed row
-            const int64_t np = n < 4 * Wout ? n : 4 * Wout;
+            // skips the chunk tail); a row longer than the packed
+            // capacity violates the lens<=pack_width precondition --
+            // FAIL the pack (caller falls back to the raw-token push)
+            // rather than silently truncate to a corrupted sequence
+            if (n > 4 * Wout) {
+                rc = 1;
+                off += lens[b];
+                continue;
+            }
             int64_t j = 0;
-            for (; j < np; ++j) {
+            for (; j < n; ++j) {
                 const uint8_t c = code[src[j]];
                 if (c == 255) {
                     rc = 1;
@@ -296,8 +302,11 @@ int64_t wfa_pack2_batch(const uint8_t* mat, int64_t B, int64_t Wm,
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* row = mat + b * Wm;
         uint8_t* orow = out + b * Wout;
-        int64_t n = lens[b] < Wm ? lens[b] : Wm;
-        if (n > 4 * Wout) n = 4 * Wout;  // caller packs a prefix only
+        const int64_t n = lens[b] < Wm ? lens[b] : Wm;
+        // lens<=pack_width precondition violated: fail the whole pack
+        // (caller falls back to the raw-token push) instead of silently
+        // truncating to a corrupted sequence
+        if (n > 4 * Wout) return -1;
         uint8_t acc = 0;
         int64_t j = 0;
         for (; j < n; ++j) {

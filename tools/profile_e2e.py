@@ -86,22 +86,15 @@ def main():
     link = link_calibration()
     print(f"link: {link}", file=sys.stderr)
 
-    # per-batch wire budget from the production config (the first
-    # dispatch memoizes it; reproduce the derivation here)
-    from pywfa_tpu.attributes import validate_alignment
-    attr0 = validate_alignment(attr, L, L)
-    Lp = BT._bucket_len(L)
-    full_probe = E.full_config(attr0, Lp, Lp, record_choices=True)
-    S0 = max(96, E._round_up(L // 6 + 1, 32))
-    S_cap = min(S0, full_probe.S_cap)
-    W = min(full_probe.W,
-            E._round_up(BT._band_for_score(attr0, S_cap, Lp, Lp), 128))
-    cfg = E.full_config(attr0, Lp, Lp, W=W, S_cap=S_cap,
-                        record_choices=True)
-    import dataclasses as _dc
-    oc = min(cfg.S_cap, max(32, E._round_up(cfg.S_cap // 3, 2)))
-    if oc < cfg.S_cap:
-        cfg = _dc.replace(cfg, ops_out=oc)
+    # per-batch wire budget from the ACTUAL production config: dispatch
+    # one small batch of the same shape and read the rung config off the
+    # in-flight handle (no duplicated rung-derivation formulas -- if
+    # dispatch's rung math changes, this artifact follows automatically;
+    # the rung is independent of batch size)
+    h_probe = BT.align_pairs_dispatch(attr, batches[0][0][:16],
+                                      batches[0][1][:16])
+    cfg = h_probe.cfg
+    BT.align_pairs_finish(h_probe)
     pp, pt = E.packed_widths(cfg)
     push_bytes = B * (pp + pt)  # fused 2-bit rows
     assert E.packed_layout(cfg) == "compact"
